@@ -1,0 +1,49 @@
+"""Driver benchmark: INT8 static-PTQ SimpleConvNet throughput on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+vs_baseline compares against the reference's best published throughput number
+(custom-quant INT8 @ bs=32: 1724.14 img/s — BASELINE.md, from the reference's
+own report generator analyze_results.py:241-242).
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+BASELINE_IMG_S = 1724.14  # reference custom-quant INT8 throughput @ bs32
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from quantnet.bench.benchmark import InferenceBenchmark
+    from quantnet.models import convnet
+    from quantnet.quantize import static
+
+    rng = jax.random.PRNGKey(0)
+    params, state = convnet.init(rng)
+    calib = jax.random.normal(jax.random.PRNGKey(1), (256, 32, 32, 3), jnp.float32)
+    qparams, qstate = static.quantize(params, state, convnet.apply, [(calib, None)])
+
+    bench = InferenceBenchmark(image_size=32, warmup=10, iters=50)
+    # TPU-appropriate batch: big enough to fill the MXU pipeline.
+    bs = 1024
+    stats = bench.measure(convnet.apply, qparams, qstate, bs)
+    value = stats["images_per_s"]
+    print(
+        json.dumps(
+            {
+                "metric": "cifar10_convnet_int8_static_throughput_bs1024",
+                "value": round(value, 2),
+                "unit": "img/s",
+                "vs_baseline": round(value / BASELINE_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

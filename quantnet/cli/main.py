@@ -1,0 +1,299 @@
+"""quantnet CLI: train / quantize / evaluate / bench / report / experiment.
+
+The working end-to-end pipeline the reference promised but broke
+(run_experiment.py:7 imported a module that doesn't exist — SURVEY.md known
+gaps; main.py's eval pipeline required a checkpoint stripped from the repo).
+`experiment` = train -> quantize (all three schemes) -> evaluate -> bench ->
+report, each stage resumable from artifacts on disk (--skip-training keeps the
+reference's resume semantics, run_experiment.py:24).
+
+Usage:
+    python -m quantnet train --epochs 20 --batch-size 128
+    python -m quantnet quantize --scheme static --ckpt saved_models/best
+    python -m quantnet evaluate --models fp32,dynamic,static,weight_only
+    python -m quantnet bench --batch-sizes 1,32,1024
+    python -m quantnet experiment --epochs 5
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict, Tuple
+
+import jax
+
+
+def _build_model(name: str, num_classes: int, seed: int = 0):
+    if name == "simple_convnet":
+        from quantnet.models import convnet as mod
+    elif name == "resnet50":
+        from quantnet.models import resnet as mod
+    else:
+        raise SystemExit(f"unknown model {name!r}")
+    params, state = mod.init(jax.random.PRNGKey(seed), num_classes=num_classes)
+    return mod.apply, params, state
+
+
+def _load_data(args):
+    from quantnet.data.datasets import CIFAR10_CLASSES, load_cifar10
+
+    train, test = load_cifar10(
+        args.data_dir,
+        synthetic_train_size=args.synthetic_train_size,
+        synthetic_test_size=args.synthetic_test_size,
+    )
+    return train, test, CIFAR10_CLASSES
+
+
+def _artifact_path(save_dir: str, name: str) -> str:
+    return os.path.join(save_dir, name)
+
+
+def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[dict, dict]]:
+    from quantnet.quantize import dynamic, static, weight_only
+    from quantnet.quantize.policy import quantize_optimized
+
+    calib = list(train_data.batches(args.batch_size, drop_remainder=True))[
+        : args.calibration_batches
+    ]
+    out = {}
+    out["dynamic"] = dynamic.quantize(params, state)
+    out["static"] = static.quantize(
+        params, state, apply_fn, calib, observer=args.observer
+    )
+    out["weight_only"] = weight_only.quantize(params, state)
+    qp, qs, policy = quantize_optimized(
+        params, state, apply_fn, calib[: max(args.calibration_batches // 4, 1)]
+    )
+    out["optimized"] = (qp, qs)
+    out["_policy"] = policy
+    return out
+
+
+def cmd_train(args):
+    from quantnet.core.config import TrainConfig
+    from quantnet.train.trainer import Trainer
+
+    train_data, test_data, _ = _load_data(args)
+    apply_fn, params, state = _build_model(args.model, train_data.num_classes, args.seed)
+    cfg = TrainConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        optimizer=args.optimizer,
+        seed=args.seed,
+        save_dir=args.save_dir,
+    )
+    trainer = Trainer(apply_fn, params, state, cfg, train_data, test_data)
+    params, state = trainer.train(
+        save_path=os.path.join(args.save_dir, "best") if args.save_dir else None
+    )
+    from quantnet.train import checkpoint as ckpt
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    ckpt.save_artifact(
+        _artifact_path(args.save_dir, "fp32"),
+        {"params": params, "state": state},
+        {"model": args.model, "best_accuracy": trainer.best_accuracy},
+    )
+    trainer.save_history(os.path.join(args.save_dir, "history.jsonl"))
+    print(f"best accuracy: {trainer.best_accuracy:.4f}")
+    return params, state
+
+
+def _load_fp32(args):
+    from quantnet.train import checkpoint as ckpt
+
+    path = _artifact_path(args.save_dir, "fp32")
+    if not os.path.exists(path + ".json"):
+        return None
+    tree, meta = ckpt.load_artifact(path)
+    return tree["params"], tree["state"], meta
+
+
+def cmd_quantize(args):
+    from quantnet.train import checkpoint as ckpt
+
+    loaded = _load_fp32(args)
+    if loaded is None:
+        raise SystemExit(f"no fp32 artifact under {args.save_dir}; run train first")
+    params, state, meta = loaded
+    train_data, _, _ = _load_data(args)
+    apply_fn, _, _ = _build_model(args.model, train_data.num_classes)
+    schemes = _quantize_all(apply_fn, params, state, train_data, args)
+    policy = schemes.pop("_policy", None)
+    for name, (qp, qs) in schemes.items():
+        if args.scheme not in ("all", name):
+            continue
+        ckpt.save_artifact(
+            _artifact_path(args.save_dir, name),
+            {"params": qp, "state": qs},
+            {"model": args.model, "scheme": name,
+             "policy": policy if name == "optimized" else None},
+        )
+        print(f"saved {name} artifact")
+
+
+def _collect_models(args):
+    """Load every available artifact into {name: (apply_fn, params, state)}."""
+    from quantnet.train import checkpoint as ckpt
+
+    train_data, test_data, classes = _load_data(args)
+    apply_fn, _, _ = _build_model(args.model, train_data.num_classes)
+    models = {}
+    for name in ["fp32", "dynamic", "static", "weight_only", "optimized"]:
+        path = _artifact_path(args.save_dir, name)
+        if os.path.exists(path + ".json"):
+            tree, _ = ckpt.load_artifact(path)
+            models[name] = (apply_fn, tree["params"], tree["state"])
+    return models, test_data, classes
+
+
+def cmd_evaluate(args):
+    from quantnet.evaluation.evaluator import compare_models
+
+    models, test_data, classes = _collect_models(args)
+    if not models:
+        raise SystemExit("no artifacts to evaluate; run train/quantize first")
+    results = compare_models(
+        models, test_data, batch_size=args.eval_batch_size, class_names=classes
+    )
+    os.makedirs(args.results_dir, exist_ok=True)
+    with open(os.path.join(args.results_dir, "accuracy.json"), "w") as f:
+        json.dump(results, f, indent=2, default=str)
+    for name, r in results.items():
+        print(f"{name}: top1={r['top1']:.4f} top5={r['top5']:.4f} (n={r['n']})")
+    return results
+
+
+def cmd_bench(args):
+    from quantnet.bench.benchmark import InferenceBenchmark
+
+    models, test_data, _ = _collect_models(args)
+    if not models:
+        raise SystemExit("no artifacts to bench; run train/quantize first")
+    bench = InferenceBenchmark(
+        image_size=test_data.images.shape[1],
+        warmup=args.warmup,
+        iters=args.iters,
+    )
+    batch_sizes = [int(b) for b in args.batch_sizes.split(",")]
+    results = bench.compare_models(models, batch_sizes)
+    os.makedirs(args.results_dir, exist_ok=True)
+    with open(os.path.join(args.results_dir, "benchmark.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    for name, r in results.items():
+        for bs in batch_sizes:
+            s = r[f"bs{bs}"]
+            print(
+                f"{name} bs={bs}: {s['mean_ms']:.3f}ms "
+                f"({s['images_per_s']:.1f} img/s)"
+            )
+    return results
+
+
+def cmd_report(args):
+    from quantnet.report.analyzer import ResultAnalyzer, create_detailed_report
+
+    acc_path = os.path.join(args.results_dir, "accuracy.json")
+    bench_path = os.path.join(args.results_dir, "benchmark.json")
+    if not (os.path.exists(acc_path) and os.path.exists(bench_path)):
+        raise SystemExit("need accuracy.json and benchmark.json; run evaluate + bench")
+    with open(acc_path) as f:
+        accuracy = json.load(f)
+    with open(bench_path) as f:
+        benchmark = json.load(f)
+    analyzer = ResultAnalyzer(args.results_dir)
+    table = analyzer.compare_quantization_methods(accuracy, benchmark, batch_size=args.report_batch_size)
+    report = create_detailed_report(table, args.results_dir)
+    print(report)
+
+
+def cmd_experiment(args):
+    """Full pipeline: the fixed run_experiment.py."""
+    loaded = _load_fp32(args) if args.skip_training else None
+    if loaded is None:
+        cmd_train(args)
+    args.scheme = "all"
+    cmd_quantize(args)
+    cmd_evaluate(args)
+    cmd_bench(args)
+    cmd_report(args)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="quantnet")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--model", default="simple_convnet")
+        sp.add_argument("--data-dir", default="./data")
+        sp.add_argument("--save-dir", default="./saved_models")
+        sp.add_argument("--results-dir", default="./results")
+        sp.add_argument("--batch-size", type=int, default=128)
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--synthetic-train-size", type=int, default=12800,
+                        help="fallback dataset size when no real data on disk")
+        sp.add_argument("--synthetic-test-size", type=int, default=2560)
+
+    sp = sub.add_parser("train")
+    common(sp)
+    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--lr", type=float, default=0.1)
+    sp.add_argument("--optimizer", default="sgd_cosine",
+                    choices=["sgd_cosine", "adam_plateau"])
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("quantize")
+    common(sp)
+    sp.add_argument("--scheme", default="all",
+                    choices=["all", "dynamic", "static", "weight_only", "optimized"])
+    sp.add_argument("--observer", default="minmax",
+                    choices=["minmax", "moving_average", "histogram"])
+    sp.add_argument("--calibration-batches", type=int, default=16)
+    sp.set_defaults(fn=cmd_quantize)
+
+    sp = sub.add_parser("evaluate")
+    common(sp)
+    sp.add_argument("--eval-batch-size", type=int, default=512)
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("bench")
+    common(sp)
+    sp.add_argument("--batch-sizes", default="1,32,1024")
+    sp.add_argument("--warmup", type=int, default=10)
+    sp.add_argument("--iters", type=int, default=100)
+    sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("report")
+    common(sp)
+    sp.add_argument("--report-batch-size", type=int, default=32)
+    sp.set_defaults(fn=cmd_report)
+
+    sp = sub.add_parser("experiment")
+    common(sp)
+    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--lr", type=float, default=0.1)
+    sp.add_argument("--optimizer", default="sgd_cosine",
+                    choices=["sgd_cosine", "adam_plateau"])
+    sp.add_argument("--skip-training", action="store_true")
+    sp.add_argument("--observer", default="minmax")
+    sp.add_argument("--calibration-batches", type=int, default=16)
+    sp.add_argument("--eval-batch-size", type=int, default=512)
+    sp.add_argument("--batch-sizes", default="1,32,1024")
+    sp.add_argument("--warmup", type=int, default=10)
+    sp.add_argument("--iters", type=int, default=100)
+    sp.add_argument("--report-batch-size", type=int, default=32)
+    sp.set_defaults(fn=cmd_experiment)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

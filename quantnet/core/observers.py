@@ -1,0 +1,152 @@
+"""Calibration observers for static PTQ.
+
+The reference's StaticPTQModel accepted a calibration_data_loader and ignored it
+(reference models/static_ptq_model.py:19-34) — calibration never actually ran.
+This module implements the *intended* behavior: observers accumulate activation
+statistics over a calibration stream and emit frozen affine (scale, zero_point)
+parameters.
+
+Design: an observer is a tiny immutable pytree of running statistics plus pure
+``update(state, batch_stats)`` / ``qparams(state)`` functions. The per-batch
+statistic extraction (min/max/histogram) runs inside the jitted calibration
+step on device; the O(1) running-state update composes in the same jit. Nothing
+here ever syncs to host per batch.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from quantnet.core.quantize import affine_qparams
+
+
+@struct.dataclass
+class MinMaxObserver:
+    """Running global min/max (the reference schemes' implicit default)."""
+
+    min: jax.Array  # fp32 scalar
+    max: jax.Array
+
+    @classmethod
+    def init(cls) -> "MinMaxObserver":
+        return cls(min=jnp.float32(jnp.inf), max=jnp.float32(-jnp.inf))
+
+    def update(self, x: jax.Array) -> "MinMaxObserver":
+        return MinMaxObserver(
+            min=jnp.minimum(self.min, jnp.min(x).astype(jnp.float32)),
+            max=jnp.maximum(self.max, jnp.max(x).astype(jnp.float32)),
+        )
+
+    def qparams(self) -> Tuple[jax.Array, jax.Array]:
+        return affine_qparams(self.min, self.max)
+
+
+@struct.dataclass
+class MovingAvgMinMaxObserver:
+    """EMA of per-batch min/max — robust to a single outlier batch."""
+
+    min: jax.Array
+    max: jax.Array
+    initialized: jax.Array  # bool scalar
+    momentum: float = struct.field(pytree_node=False, default=0.9)
+
+    @classmethod
+    def init(cls, momentum: float = 0.9) -> "MovingAvgMinMaxObserver":
+        return cls(
+            min=jnp.float32(0.0),
+            max=jnp.float32(0.0),
+            initialized=jnp.array(False),
+            momentum=momentum,
+        )
+
+    def update(self, x: jax.Array) -> "MovingAvgMinMaxObserver":
+        bmin = jnp.min(x).astype(jnp.float32)
+        bmax = jnp.max(x).astype(jnp.float32)
+        m = self.momentum
+        new_min = jnp.where(self.initialized, m * self.min + (1 - m) * bmin, bmin)
+        new_max = jnp.where(self.initialized, m * self.max + (1 - m) * bmax, bmax)
+        return MovingAvgMinMaxObserver(
+            min=new_min, max=new_max, initialized=jnp.array(True), momentum=m
+        )
+
+    def qparams(self) -> Tuple[jax.Array, jax.Array]:
+        return affine_qparams(self.min, self.max)
+
+
+@struct.dataclass
+class HistogramObserver:
+    """Fixed-range histogram + percentile clipping.
+
+    Accumulates counts over ``bins`` buckets spanning a running [lo, hi] absmax
+    range (range frozen after the first batch to keep bucket edges static under
+    jit), then picks the clip range covering ``percentile`` of the mass —
+    discarding extreme outliers that would otherwise blow up the scale.
+    """
+
+    counts: jax.Array  # f32[bins]
+    lo: jax.Array
+    hi: jax.Array
+    initialized: jax.Array
+    bins: int = struct.field(pytree_node=False, default=2048)
+    percentile: float = struct.field(pytree_node=False, default=0.9999)
+
+    @classmethod
+    def init(cls, bins: int = 2048, percentile: float = 0.9999):
+        return cls(
+            counts=jnp.zeros((bins,), jnp.float32),
+            lo=jnp.float32(0.0),
+            hi=jnp.float32(1.0),
+            initialized=jnp.array(False),
+            bins=bins,
+            percentile=percentile,
+        )
+
+    def update(self, x: jax.Array) -> "HistogramObserver":
+        x = x.astype(jnp.float32).reshape(-1)
+        # Freeze the bucket range on first update (3x first-batch range headroom).
+        bmin, bmax = jnp.min(x), jnp.max(x)
+        lo = jnp.where(self.initialized, self.lo, jnp.minimum(bmin * 3.0, bmin))
+        hi = jnp.where(self.initialized, self.hi, jnp.maximum(bmax * 3.0, bmax))
+        hi = jnp.where(hi > lo, hi, lo + 1.0)
+        idx = jnp.clip(
+            ((x - lo) / (hi - lo) * self.bins).astype(jnp.int32), 0, self.bins - 1
+        )
+        counts = self.counts + jnp.zeros_like(self.counts).at[idx].add(1.0)
+        return HistogramObserver(
+            counts=counts,
+            lo=lo,
+            hi=hi,
+            initialized=jnp.array(True),
+            bins=self.bins,
+            percentile=self.percentile,
+        )
+
+    def qparams(self) -> Tuple[jax.Array, jax.Array]:
+        total = jnp.maximum(jnp.sum(self.counts), 1.0)
+        cdf = jnp.cumsum(self.counts) / total
+        edges = self.lo + (self.hi - self.lo) * (
+            jnp.arange(self.bins + 1, dtype=jnp.float32) / self.bins
+        )
+        tail = (1.0 - self.percentile) / 2.0
+        lo_idx = jnp.searchsorted(cdf, tail)
+        hi_idx = jnp.searchsorted(cdf, 1.0 - tail)
+        xmin = edges[jnp.clip(lo_idx, 0, self.bins)]
+        xmax = edges[jnp.clip(hi_idx + 1, 0, self.bins)]
+        return affine_qparams(xmin, xmax)
+
+
+OBSERVERS = {
+    "minmax": MinMaxObserver,
+    "moving_average": MovingAvgMinMaxObserver,
+    "histogram": HistogramObserver,
+}
+
+
+def make_observer(kind: str, **kwargs):
+    try:
+        return OBSERVERS[kind].init(**kwargs)
+    except KeyError:
+        raise ValueError(f"unknown observer {kind!r}; have {sorted(OBSERVERS)}")

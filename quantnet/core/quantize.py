@@ -1,0 +1,117 @@
+"""Quantize / dequantize primitives.
+
+Pure jnp functions — every one is jit-safe and shape-static. These are the
+building blocks every scheme (quantnet/quantize/*) composes; the Pallas kernels
+in quantnet/ops implement fused versions of the same math and are validated
+against these in tests.
+
+Numerics contract (matches the int8 affine scheme the reference relied on via
+FBGEMM, SURVEY.md section 3.3):
+    q = clip(round(x / scale) + zero_point, -128, 127)    (int8)
+    x' = (q - zero_point) * scale
+Weights use symmetric quantization (zero_point = 0) with the int8 range
+restricted to [-127, 127] so that -q is always representable. Activations use
+asymmetric (zero_point != 0) quantization over the observed [min, max].
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quantnet.core.types import QTensor
+
+INT8_MIN = -128
+INT8_MAX = 127
+# Symmetric weight range: avoid -128 so negation stays in range.
+SYM_MAX = 127.0
+EPS = 1e-8
+
+
+def _reduce_axes(ndim: int, axis: Optional[int]) -> Tuple[int, ...]:
+    if axis is None:
+        return tuple(range(ndim))
+    axis = axis % ndim
+    return tuple(i for i in range(ndim) if i != axis)
+
+
+def symmetric_scale(x: jax.Array, axis: Optional[int] = None) -> jax.Array:
+    """absmax / 127 scale; per-tensor (axis=None) or per-channel along `axis`.
+
+    Shape: scalar () for per-tensor; broadcastable (1,..,C,..,1) for per-channel.
+    """
+    red = _reduce_axes(x.ndim, axis)
+    amax = jnp.max(jnp.abs(x), axis=red, keepdims=axis is not None)
+    return jnp.maximum(amax, EPS).astype(jnp.float32) / SYM_MAX
+
+
+def quantize_symmetric(x: jax.Array, axis: Optional[int] = None) -> QTensor:
+    """Symmetric INT8 quantization (weights). Per-channel when axis is given."""
+    scale = symmetric_scale(x, axis)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -SYM_MAX, SYM_MAX)
+    return QTensor(values=q.astype(jnp.int8), scale=scale, zero_point=None, axis=axis)
+
+
+def affine_qparams(
+    xmin: jax.Array, xmax: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Asymmetric (scale, zero_point) covering [min(xmin,0), max(xmax,0)].
+
+    The range is widened to include 0 so that zero is exactly representable
+    (required for zero-padding in convs to be exact).
+    """
+    xmin = jnp.minimum(xmin, 0.0).astype(jnp.float32)
+    xmax = jnp.maximum(xmax, 0.0).astype(jnp.float32)
+    scale = jnp.maximum((xmax - xmin) / (INT8_MAX - INT8_MIN), EPS)
+    zero_point = jnp.clip(
+        jnp.round(INT8_MIN - xmin / scale), INT8_MIN, INT8_MAX
+    ).astype(jnp.int32)
+    return scale, zero_point
+
+
+def quantize_affine(
+    x: jax.Array, scale: jax.Array, zero_point: jax.Array
+) -> jax.Array:
+    """Quantize with given affine params -> int8 array (params kept separately)."""
+    q = jnp.round(x.astype(jnp.float32) / scale) + zero_point
+    return jnp.clip(q, INT8_MIN, INT8_MAX).astype(jnp.int8)
+
+
+def dynamic_quantize(
+    x: jax.Array, axis: Optional[int] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-batch symmetric activation quantization: (int8 values, scale).
+
+    The TPU-native equivalent of FBGEMM's per-call dynamic activation
+    quantization (reference models/dynamic_ptq_model.py:270-279 forward path):
+    absmax -> scale -> round -> clip, all fused by XLA into the consuming
+    matmul/conv — no host sync, no data-dependent shapes.
+    """
+    scale = symmetric_scale(x, axis)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -SYM_MAX, SYM_MAX)
+    return q.astype(jnp.int8), scale
+
+
+def dequantize(q: jax.Array, scale: jax.Array, zero_point=None, dtype=jnp.float32):
+    v = q.astype(dtype)
+    if zero_point is not None:
+        v = v - jnp.asarray(zero_point, dtype)
+    return v * jnp.asarray(scale, dtype)
+
+
+def fake_quantize_symmetric(x: jax.Array, axis: Optional[int] = None) -> jax.Array:
+    """INT8-emulated-in-fp32: quantize+dequantize round trip, staying fp32.
+
+    The backend-independent correctness oracle (SURVEY.md section 7 build step 3):
+    a real int8 kernel fed the same inputs must produce bitwise-comparable
+    results to an fp32 matmul over fake-quantized operands (up to fp32
+    accumulation order).
+    """
+    qt = quantize_symmetric(x, axis)
+    return qt.dequantize()
+
+
+def fake_quantize_affine(x, scale, zero_point):
+    q = quantize_affine(x, scale, zero_point)
+    return dequantize(q, scale, zero_point)

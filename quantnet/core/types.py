@@ -1,0 +1,144 @@
+"""Core quantization data types.
+
+TPU-native re-design of the quantized-tensor state the reference keeps implicitly
+inside PyTorch's quantized modules (reference: models/dynamic_ptq_model.py:302-306
+packs INT8 weights via quantize_dynamic; models/custom_quantization_model.py:34-58
+wraps per-layer quant islands). Here the quantized state is an explicit, immutable
+pytree leaf (`QTensor`) so that quantization is a pure function over a params pytree
+and every jitted forward can dispatch on the leaf type at trace time.
+"""
+from __future__ import annotations
+
+import enum
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+class QScheme(str, enum.Enum):
+    """Which PTQ scheme produced a quantized model.
+
+    Mirrors the reference's three schemes (SURVEY.md section 2.1):
+      - DYNAMIC: per-batch activation scales (reference models/dynamic_ptq_model.py)
+      - STATIC: calibrated, frozen per-tensor activation scale+zero-point
+        (the *intent* of reference models/static_ptq_model.py:19-34, which
+        silently fell back to dynamic quant)
+      - WEIGHT_ONLY: per-output-channel INT8 weights, fp32/bf16 activations
+        (the intent of reference models/custom_quantization_model.py)
+    """
+
+    DYNAMIC = "dynamic"
+    STATIC = "static"
+    WEIGHT_ONLY = "weight_only"
+
+
+@struct.dataclass
+class QTensor:
+    """An INT8-quantized tensor with its dequantization parameters.
+
+    values: int8 payload, same shape as the original tensor. Lives packed in HBM.
+    scale:  fp32 scale. Scalar () for per-tensor, or shaped to broadcast against
+            ``values`` for per-channel (e.g. (1, N) for a (K, N) weight quantized
+            along the output-channel axis).
+    zero_point: optional int32 zero point, same shape rules as scale. None means
+            symmetric quantization (zero_point == 0), the common case for weights.
+    axis:   static metadata: channel axis for per-channel quantization, or None
+            for per-tensor. Not a pytree leaf.
+
+    Dequantization contract: ``deq(values) = (values - zero_point) * scale``.
+    """
+
+    values: jax.Array
+    scale: jax.Array
+    zero_point: Optional[jax.Array] = None
+    axis: Optional[int] = struct.field(pytree_node=False, default=None)
+
+    @property
+    def shape(self):
+        return self.values.shape
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        v = self.values.astype(dtype)
+        if self.zero_point is not None:
+            v = v - self.zero_point.astype(dtype)
+        return v * self.scale.astype(dtype)
+
+    @property
+    def nbytes(self) -> int:
+        """Serialized footprint: packed int8 payload + quant params."""
+        n = self.values.size * self.values.dtype.itemsize
+        n += self.scale.size * self.scale.dtype.itemsize
+        if self.zero_point is not None:
+            n += self.zero_point.size * self.zero_point.dtype.itemsize
+        return n
+
+
+@struct.dataclass
+class ActQuant:
+    """Frozen (static-PTQ) activation quantization parameters for one layer input.
+
+    Produced by calibration (quantnet/core/observers.py) and attached to a layer's
+    param dict under key 'aq'. The presence of this leaf switches the layer op to
+    the static INT8 path: quantize input with the frozen scale/zero_point, run
+    int8 x int8 -> int32 on the MXU, rescale in the epilogue.
+
+    Reference intent: models/static_ptq_model.py:19 (calibration_data_loader arg
+    the reference accepted but ignored — here it is actually used).
+    """
+
+    scale: jax.Array  # fp32 scalar ()
+    zero_point: jax.Array  # int32 scalar ()
+
+
+class DynamicActQuant:
+    """Marker leaf: quantize this layer's input per batch (dynamic PTQ).
+
+    Registered as an empty pytree node so it can live inside a params tree and
+    survive jit tracing; carries no arrays. The layer op computes
+    absmax -> scale -> int8 on the fly, fused by XLA into the surrounding graph
+    (reference behavior: FBGEMM dynamic linear, SURVEY.md section 3.3).
+    """
+
+    def __repr__(self):
+        return "DynamicActQuant()"
+
+    def __eq__(self, other):
+        return isinstance(other, DynamicActQuant)
+
+    def __hash__(self):
+        return hash(DynamicActQuant)
+
+
+jax.tree_util.register_pytree_node(
+    DynamicActQuant,
+    lambda node: ((), None),
+    lambda aux, children: DynamicActQuant(),
+)
+
+
+def is_quantized(leaf: Any) -> bool:
+    return isinstance(leaf, QTensor)
+
+
+def tree_nbytes(tree: Any) -> int:
+    """Model-size accounting: bytes of all array leaves (QTensor counts packed).
+
+    Equivalent of the reference's get_model_size (models/dynamic_ptq_model.py:310-317,
+    which serialized the model to disk and stat'ed it) — here computed directly
+    from array payloads, no filesystem round-trip.
+    """
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(
+        tree, is_leaf=lambda x: isinstance(x, QTensor)
+    ):
+        if isinstance(leaf, QTensor):
+            total += leaf.nbytes
+        elif hasattr(leaf, "nbytes"):
+            total += leaf.nbytes
+    return total

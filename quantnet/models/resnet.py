@@ -1,0 +1,179 @@
+"""ResNet-50 in functional JAX — the ImageNet track of the reference.
+
+Capability parity with the reference's ResNet-50 quantization family
+(/root/reference/models/dynamic_ptq_model.py:92-139 CustomDynamicQuantizedResNet50,
+custom_quantization_model.py:104-143 CustomQuantizedResNet50): bottleneck blocks
+with per-layer quant islands, residual adds in the fp32 accumulate domain
+(reference keeps adds in FloatFunctional / dequantized fp32 —
+dynamic_ptq_model.py:88, custom_quantization_model.py:95-100), and the
+`conv1_scale` input-scale knob on the stem conv
+(dynamic_ptq_model.py:13-32, 157-164).
+
+Architecture: standard ResNet-50 (stem 7x7/2 + maxpool 3x3/2; stages of
+[1x1, 3x3, 1x1] bottlenecks x [3,4,6,3]; global avgpool; fc). NHWC/HWIO.
+Params are a nested dict pytree, so the same quantization transforms in
+quantnet/quantize apply unchanged — layer paths look like
+'layer3/2/conv2'. Downsample convs are wrapped like any other layer
+(reference wraps them too, custom_quantization_model.py:73-77).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quantnet.ops.conv import conv2d
+from quantnet.ops.layers import avgpool_global, batchnorm_apply, batchnorm_init
+from quantnet.ops.linear import linear
+
+STAGES = (3, 4, 6, 3)
+STAGE_WIDTHS = (64, 128, 256, 512)
+EXPANSION = 4
+
+
+def _kaiming(rng, shape, fan_in):
+    return jax.random.normal(rng, shape, jnp.float32) * jnp.sqrt(2.0 / fan_in)
+
+
+def _conv_init(rng, kh, kw, cin, cout):
+    return {"w": _kaiming(rng, (kh, kw, cin, cout), kh * kw * cin)}
+
+
+def _with_bn(layer, cout, state_slot):
+    bn_p, bn_s = batchnorm_init(cout)
+    layer["bn"] = bn_p
+    state_slot.update(bn_s)
+    return layer
+
+
+def init(rng: jax.Array, num_classes: int = 1000) -> Tuple[dict, dict]:
+    params: dict = {}
+    state: dict = {}
+    n_keys = 2 + sum(STAGES) * 4 + len(STAGES)
+    keys = iter(jax.random.split(rng, n_keys + 4))
+
+    state["conv1"] = {}
+    params["conv1"] = _with_bn(_conv_init(next(keys), 7, 7, 3, 64), 64, state["conv1"])
+
+    cin = 64
+    for si, (blocks, width) in enumerate(zip(STAGES, STAGE_WIDTHS)):
+        stage_name = f"layer{si + 1}"
+        params[stage_name] = {}
+        state[stage_name] = {}
+        for bi in range(blocks):
+            bp: dict = {}
+            bs: dict = {}
+            stride = 2 if (bi == 0 and si > 0) else 1
+            cout = width * EXPANSION
+            bs["conv1"], bs["conv2"], bs["conv3"] = {}, {}, {}
+            bp["conv1"] = _with_bn(_conv_init(next(keys), 1, 1, cin, width), width, bs["conv1"])
+            bp["conv2"] = _with_bn(_conv_init(next(keys), 3, 3, width, width), width, bs["conv2"])
+            bp["conv3"] = _with_bn(_conv_init(next(keys), 1, 1, width, cout), cout, bs["conv3"])
+            if bi == 0:
+                bs["downsample"] = {}
+                bp["downsample"] = _with_bn(
+                    _conv_init(next(keys), 1, 1, cin, cout), cout, bs["downsample"]
+                )
+            params[stage_name][str(bi)] = bp
+            state[stage_name][str(bi)] = bs
+            cin = cout
+
+    params["fc"] = {
+        "w": _kaiming(next(keys), (cin, num_classes), cin),
+        "b": jnp.zeros((num_classes,), jnp.float32),
+    }
+    return params, state
+
+
+def _conv_bn(params, state, new_state, x, *, stride, padding, train, relu, capture, path):
+    layer = params
+    if "bn" in layer:
+        y = conv2d(layer, x, stride=stride, padding=padding)
+        y, ns = batchnorm_apply(layer["bn"], state, y, train=train)
+        if train:
+            new_state.update(ns)
+        return jax.nn.relu(y) if relu else y
+    if capture is not None:
+        capture[path] = x
+    return conv2d(
+        layer, x, stride=stride, padding=padding, activation="relu" if relu else None
+    )
+
+
+def _maxpool_3x3_s2(x):
+    # torch MaxPool2d(3, stride=2, padding=1) semantics
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def apply(
+    params: dict,
+    state: dict,
+    x: jax.Array,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    capture: Optional[dict] = None,
+    conv1_scale: float = 1.0,
+) -> Tuple[jax.Array, dict]:
+    """Forward. conv1_scale multiplies the stem input — the reference's
+    custom_scale knob (dynamic_ptq_model.py:25-27)."""
+    new_state = jax.tree_util.tree_map(lambda v: v, state) if train else state
+
+    if conv1_scale != 1.0:
+        x = x * conv1_scale
+    ns1 = new_state["conv1"] if train else {}
+    x = _conv_bn(
+        params["conv1"], state["conv1"], ns1, x,
+        stride=2, padding="SAME", train=train, relu=True, capture=capture, path="conv1",
+    )
+    if train:
+        new_state["conv1"] = ns1
+    x = _maxpool_3x3_s2(x)
+
+    for si in range(len(STAGES)):
+        stage = f"layer{si + 1}"
+        for bi in range(STAGES[si]):
+            b = str(bi)
+            bp = params[stage][b]
+            bs = state[stage][b]
+            nbs = new_state[stage][b] if train else {}
+            stride = 2 if (bi == 0 and si > 0) else 1
+            prefix = f"{stage}/{b}"
+
+            identity = x
+            out = _conv_bn(
+                bp["conv1"], bs["conv1"], nbs.setdefault("conv1", {}) if train else {},
+                x, stride=1, padding="VALID", train=train, relu=True,
+                capture=capture, path=f"{prefix}/conv1",
+            )
+            out = _conv_bn(
+                bp["conv2"], bs["conv2"], nbs.setdefault("conv2", {}) if train else {},
+                out, stride=stride, padding="SAME", train=train, relu=True,
+                capture=capture, path=f"{prefix}/conv2",
+            )
+            out = _conv_bn(
+                bp["conv3"], bs["conv3"], nbs.setdefault("conv3", {}) if train else {},
+                out, stride=1, padding="VALID", train=train, relu=False,
+                capture=capture, path=f"{prefix}/conv3",
+            )
+            if "downsample" in bp:
+                identity = _conv_bn(
+                    bp["downsample"], bs["downsample"],
+                    nbs.setdefault("downsample", {}) if train else {},
+                    x, stride=stride, padding="VALID", train=train, relu=False,
+                    capture=capture, path=f"{prefix}/downsample",
+                )
+            # Residual add in the fp32 accumulate domain (reference semantics:
+            # dequantized operands, dynamic_ptq_model.py:88 /
+            # custom_quantization_model.py:95-100).
+            x = jax.nn.relu(out + identity)
+
+    x = avgpool_global(x)
+    if capture is not None:
+        capture["fc"] = x
+    logits = linear(params["fc"], x)
+    return logits, new_state

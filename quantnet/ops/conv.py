@@ -1,0 +1,188 @@
+"""2-D convolution with quantization-aware dispatch (NHWC / HWIO — TPU layouts).
+
+Same four paths as quantnet/ops/linear.py. The reference's dynamic scheme
+requested INT8 conv but silently ran FP32 (PyTorch has no dynamic conv kernel —
+SURVEY.md behavior note 1, models/dynamic_ptq_model.py:302-306); here the intent
+is honored: convs really run int8 x int8 -> int32 on the MXU, either directly
+through XLA's int8 conv or via im2col + int8 GEMM (which also feeds the Pallas
+matmul kernel).
+
+Zero-point handling for the static path: activations quantize affinely, so the
+fp32 zero maps to zero_point, not 0. Padding must therefore inject zero_point in
+the int8 domain — done with an explicit pad before a VALID conv — and the cross
+term zp * sum_{kh,kw,ci} qw is folded in via per-output-channel weight sums
+precomputed at quantize time.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quantnet.core import config as cfg
+from quantnet.core.quantize import dynamic_quantize, quantize_affine
+from quantnet.core.types import ActQuant, DynamicActQuant, QTensor
+
+DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _apply_act(y, activation: Optional[str]):
+    if activation is None:
+        return y
+    if activation == "relu":
+        return jax.nn.relu(y)
+    raise ValueError(f"unknown activation {activation!r}")
+
+
+def _conv(x, w, stride, padding, out_dtype):
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=DIMNUMS,
+        preferred_element_type=out_dtype,
+    )
+
+
+def _same_pads(
+    h: int, w: int, kh: int, kw: int, stride: int
+) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """XLA SAME padding, stride-aware (explicit so the int8 path can pre-pad
+    with the zero point and still match lax.conv's SAME semantics exactly)."""
+
+    def one(size, k):
+        out = -(-size // stride)
+        total = max((out - 1) * stride + k - size, 0)
+        return total // 2, total - total // 2
+
+    return one(h, kh), one(w, kw)
+
+
+def _pad_nhwc(x, pads, value):
+    (pt, pb), (pl, pr) = pads
+    return jnp.pad(
+        x,
+        ((0, 0), (pt, pb), (pl, pr), (0, 0)),
+        mode="constant",
+        constant_values=value,
+    )
+
+
+def _im2col(x: jax.Array, kh: int, kw: int, stride: int) -> jax.Array:
+    """Extract patches: int8[N,H,W,C] -> int8[N,Ho,Wo,kh*kw*C].
+
+    Pure strided slicing — dtype-agnostic data movement, so the following GEMM
+    carries all the FLOPs on the MXU in int8. Patch channel order is (kh, kw, C),
+    matching an HWIO weight reshaped to (kh*kw*C, O).
+    """
+    n, h, w, c = x.shape
+    ho = (h - kh) // stride + 1
+    wo = (w - kw) // stride + 1
+    cols = []
+    for i in range(kh):
+        for j in range(kw):
+            sl = jax.lax.slice(
+                x,
+                (0, i, j, 0),
+                (n, i + (ho - 1) * stride + 1, j + (wo - 1) * stride + 1, c),
+                (1, stride, stride, 1),
+            )
+            cols.append(sl)
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _int8_conv(qx, qw, stride, pads, pad_value) -> jax.Array:
+    """int8 NHWC conv -> accumulator (int32, or f32 when emulated), with
+    explicit padding by `pad_value` (the zero point in the int8 domain)."""
+    qx = _pad_nhwc(qx, pads, pad_value)
+    backend = cfg.resolve_conv_backend()
+    if backend == "xla":
+        return _conv(qx, qw, stride, "VALID", jnp.int32)
+    if backend == "emulate":
+        # Integer-valued f32 conv: exact while accumulators stay < 2^24,
+        # negligible rounding vs the quant scale beyond that; ~100x faster
+        # than s8 conv on XLA:CPU.
+        return _conv(
+            qx.astype(jnp.float32), qw.astype(jnp.float32), stride, "VALID",
+            jnp.float32,
+        )
+    # im2col: lower to the selected int8 matmul backend (incl. Pallas).
+    kh, kw, ci, co = qw.shape
+    patches = _im2col(qx, kh, kw, stride)
+    n, ho, wo, pc = patches.shape
+    from quantnet.ops.linear import _int8_matmul
+
+    acc = _int8_matmul(patches.reshape(n * ho * wo, pc), qw.reshape(pc, co))
+    return acc.reshape(n, ho, wo, co)
+
+
+def conv2d(
+    layer: dict,
+    x: jax.Array,
+    *,
+    stride: int = 1,
+    padding: str = "SAME",
+    activation: Optional[str] = None,
+) -> jax.Array:
+    """Apply a conv layer given its param dict {'w', optional 'b', 'aq', 'wsum'}.
+
+    w layout HWIO; per-channel quantization axis is 3 (output channels), scale
+    broadcast shape (1, 1, 1, O).
+    """
+    w = layer["w"]
+    b = layer.get("b")
+    out_dtype = jnp.float32
+
+    if not isinstance(w, QTensor):
+        y = _conv(x, w.astype(x.dtype), stride, padding, out_dtype)
+        if b is not None:
+            y = y + b
+        return _apply_act(y, activation)
+
+    kh, kw = w.values.shape[0], w.values.shape[1]
+    if padding == "SAME":
+        pads = _same_pads(x.shape[1], x.shape[2], kh, kw, stride)
+    elif padding == "VALID":
+        pads = ((0, 0), (0, 0))
+    else:
+        pads = tuple(padding)
+
+    aq = layer.get("aq")
+    w_scale = w.scale  # (1,1,1,O) per-channel or () per-tensor
+
+    if aq is None:
+        # Weight-only: conv in activation dtype, per-channel scale in epilogue.
+        y = _conv(
+            _pad_nhwc(x, pads, 0.0),
+            w.values.astype(x.dtype),
+            stride,
+            "VALID",
+            out_dtype,
+        ) * w_scale
+        if b is not None:
+            y = y + b
+        return _apply_act(y, activation)
+
+    if isinstance(aq, DynamicActQuant):
+        # Symmetric per-batch quant -> fp32 zero == int8 zero, pad with 0.
+        qx, x_scale = dynamic_quantize(x, axis=None)
+        acc = _int8_conv(qx, w.values, stride, pads, jnp.int8(0))
+        y = acc.astype(out_dtype) * (x_scale * w_scale)
+        if b is not None:
+            y = y + b
+        return _apply_act(y, activation)
+
+    if isinstance(aq, ActQuant):
+        qx = quantize_affine(x, aq.scale, aq.zero_point)
+        pad_value = aq.zero_point.astype(jnp.int8)
+        acc = _int8_conv(qx, w.values, stride, pads, pad_value)
+        wsum = layer["wsum"]  # int32[O] = sum_{kh,kw,ci} qw
+        acc = acc - aq.zero_point * wsum
+        y = acc.astype(out_dtype) * (aq.scale * w_scale)
+        if b is not None:
+            y = y + b
+        return _apply_act(y, activation)
+
+    raise TypeError(f"unsupported activation-quant leaf {type(aq)}")

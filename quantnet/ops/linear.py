@@ -1,0 +1,115 @@
+"""Linear (dense) op with quantization-aware dispatch.
+
+One entry point, four compute paths, selected at *trace time* from the layer's
+param-leaf types (so jit sees a single static graph per quantized variant):
+
+  fp32/bf16     w: jax.Array            -> x @ w + b on the MXU
+  weight-only   w: QTensor, no 'aq'     -> (x @ int8_w) * scale in epilogue
+  dynamic PTQ   w: QTensor, aq dynamic  -> per-batch absmax quant, int8 MXU
+  static PTQ    w: QTensor, aq frozen   -> frozen-scale quant, int8 MXU,
+                                           zero-point corrected via precomputed
+                                           weight column sums
+
+This replaces the Python->FBGEMM boundary of the reference (SURVEY.md section 3.3:
+models/dynamic_ptq_model.py:270-279 dispatching into FBGEMM's dynamic linear)
+with jit-fused XLA, and optionally a Pallas kernel (quantnet/ops/pallas_matmul.py)
+for the int8 GEMM + epilogue.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from quantnet.core import config as cfg
+from quantnet.core.quantize import SYM_MAX, dynamic_quantize, quantize_affine
+from quantnet.core.types import ActQuant, DynamicActQuant, QTensor
+
+
+def _apply_act(y, activation: Optional[str]):
+    if activation is None:
+        return y
+    if activation == "relu":
+        return jax.nn.relu(y)
+    raise ValueError(f"unknown activation {activation!r}")
+
+
+def _int8_matmul(qx: jax.Array, qw: jax.Array) -> jax.Array:
+    """int8[M,K] x int8[K,N] -> accumulator [M,N] (int32, or f32 when emulated).
+
+    Backend per cfg.resolve_matmul_backend(): native int8 hits the MXU's int8
+    path; 'emulate' runs the same integer-valued math in f32 (exact while the
+    running accumulator stays < 2^24; beyond that the rounding error is
+    negligible vs the quantization scale) — used on CPU where XLA's s8 GEMM is
+    a scalar loop.
+    """
+    backend = cfg.resolve_matmul_backend()
+    if backend == "pallas":
+        from quantnet.ops.pallas_matmul import int8_matmul_pallas
+
+        return int8_matmul_pallas(qx, qw)
+    if backend == "emulate":
+        return jnp.dot(
+            qx.astype(jnp.float32),
+            qw.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+    return jax.lax.dot_general(
+        qx, qw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+def linear(
+    layer: dict,
+    x: jax.Array,
+    *,
+    activation: Optional[str] = None,
+) -> jax.Array:
+    """Apply a dense layer given its param dict {'w', optional 'b', 'aq', 'wsum'}."""
+    w = layer["w"]
+    b = layer.get("b")
+    out_dtype = jnp.float32
+
+    if not isinstance(w, QTensor):
+        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=out_dtype)
+        if b is not None:
+            y = y + b
+        return _apply_act(y, activation)
+
+    aq = layer.get("aq")
+    # scale broadcast shape: () per-tensor or (1, N) per-channel (axis=1)
+    w_scale = w.scale
+
+    if aq is None:
+        # Weight-only: keep the matmul in the activation dtype; fold the
+        # per-channel dequant scale into the epilogue: x @ (q*s) = (x @ q) * s.
+        y = jnp.dot(
+            x, w.values.astype(x.dtype), preferred_element_type=out_dtype
+        ) * w_scale
+        if b is not None:
+            y = y + b
+        return _apply_act(y, activation)
+
+    if isinstance(aq, DynamicActQuant):
+        # Per-batch symmetric activation quant (per-row for accuracy: axis=0).
+        qx, x_scale = dynamic_quantize(x, axis=0)
+        acc = _int8_matmul(qx, w.values)
+        y = acc.astype(out_dtype) * (x_scale * w_scale)
+        if b is not None:
+            y = y + b
+        return _apply_act(y, activation)
+
+    if isinstance(aq, ActQuant):
+        # Static: frozen asymmetric input quant. (qx - zp) @ qw expands to
+        # qx @ qw - zp * colsum(qw); colsum precomputed at quantize time.
+        qx = quantize_affine(x, aq.scale, aq.zero_point)
+        acc = _int8_matmul(qx, w.values)
+        wsum = layer["wsum"]  # int32[N] = sum_k qw[k, n]
+        acc = acc - aq.zero_point * wsum
+        y = acc.astype(out_dtype) * (aq.scale * w_scale)
+        if b is not None:
+            y = y + b
+        return _apply_act(y, activation)
+
+    raise TypeError(f"unsupported activation-quant leaf {type(aq)}")

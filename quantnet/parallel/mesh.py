@@ -1,0 +1,139 @@
+"""Device mesh + sharding rules: data-parallel (and optional model-parallel)
+execution over a TPU pod slice.
+
+The reference has no distributed code at all (SURVEY.md section 2.4 — single
+device, FBGEMM pinned to one CPU); these are first-class components of the
+TPU-native framework per BASELINE.json's multi-host north star:
+
+  - mesh construction over (data, model) axes;
+  - batch sharding along `data` — eval/metric reductions become psums emitted
+    by the partitioner;
+  - optional tensor-parallel sharding of the large FC layers along `model`
+    (fc1 output-dim sharded, fc2 input-dim sharded -> XLA inserts the
+    all-reduce), which is the only weight big enough to benefit in this
+    workload (fc1 is 2.1M of SimpleConvNet's 3.25M params, SURVEY.md 2.1);
+  - `jax.distributed.initialize()` for multi-host runs (collectives ride ICI
+    within a slice, DCN across hosts — XLA lays this out from the mesh).
+
+Tested on a virtual 8-device CPU mesh (tests/conftest.py); the same code runs
+unchanged on a real pod slice.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quantnet.core.types import QTensor
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host init. No-op for single-process runs; on a pod slice the
+    standard TPU environment auto-fills the arguments."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_mesh(
+    data_parallel: int = -1,
+    model_parallel: int = 1,
+    *,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a (data, model) mesh. data_parallel=-1 uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model_parallel < 1:
+        model_parallel = 1
+    if data_parallel == -1:
+        data_parallel = n // model_parallel
+    if data_parallel * model_parallel > n:
+        raise ValueError(
+            f"mesh {data_parallel}x{model_parallel} needs more than {n} devices"
+        )
+    devs = np.array(devices[: data_parallel * model_parallel]).reshape(
+        data_parallel, model_parallel
+    )
+    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded along `data`."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh)), batch
+    )
+
+
+def _spec_for_param(path_names: tuple, leaf, model_parallel: bool) -> P:
+    """Sharding rule: fc1 weight column-sharded / fc2 weight row-sharded on
+    `model` when model_parallel; everything else replicated."""
+    if not model_parallel:
+        return P()
+    names = [str(n) for n in path_names]
+    if "fc1" in names:
+        if getattr(leaf, "ndim", 0) == 2:
+            return P(None, MODEL_AXIS)  # (K, N) split on N
+        if getattr(leaf, "ndim", 0) == 1:
+            return P(MODEL_AXIS)  # bias along N
+    if "fc2" in names and getattr(leaf, "ndim", 0) == 2:
+        return P(MODEL_AXIS, None)  # (N, C) split on N -> psum by XLA
+    return P()
+
+
+def _leaf_path_names(path) -> tuple:
+    names = []
+    for entry in path:
+        if hasattr(entry, "key"):
+            names.append(entry.key)
+        elif hasattr(entry, "name"):
+            names.append(entry.name)
+    return tuple(names)
+
+
+def shard_params(mesh: Mesh, params, *, model_parallel: bool = False):
+    """Place a params pytree on the mesh with the rule set above.
+
+    QTensor leaves shard their int8 payload and broadcastable scale with the
+    same spec family (scale follows the channel axis).
+    """
+
+    def place(path, leaf):
+        names = _leaf_path_names(path)
+        if isinstance(leaf, QTensor):
+            vspec = _spec_for_param(names, leaf.values, model_parallel)
+            values = jax.device_put(leaf.values, NamedSharding(mesh, vspec))
+            scale = jax.device_put(leaf.scale, replicated(mesh))
+            zp = (
+                jax.device_put(leaf.zero_point, replicated(mesh))
+                if leaf.zero_point is not None
+                else None
+            )
+            return QTensor(values=values, scale=scale, zero_point=zp, axis=leaf.axis)
+        spec = _spec_for_param(names, leaf, model_parallel)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(
+        place, params, is_leaf=lambda x: isinstance(x, QTensor)
+    )

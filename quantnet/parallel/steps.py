@@ -1,0 +1,78 @@
+"""Mesh-parallel train/eval steps: pjit over (data, model) with donation.
+
+The jitted step functions here are the distributed twins of
+quantnet/train/trainer.py's single-device steps: same math, with batch sharded
+along `data`, params replicated (or fc-sharded along `model`), gradients
+all-reduced by XLA from the sharding lattice — no hand-written collectives in
+the step body (scaling-book recipe: pick mesh, annotate shardings, let XLA
+insert collectives).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quantnet.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+from quantnet.train.trainer import augment_batch, cross_entropy
+
+
+def make_parallel_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    augment: bool = True,
+    label_smoothing: float = 0.0,
+):
+    """Returns step((params, state, opt_state), rng, images, labels) with
+    images/labels sharded on `data` and the carry replicated (or model-sharded
+    — XLA honors whatever sharding the carry arrays already have)."""
+    data_sh = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def loss_fn(params, state, rng, images, labels):
+        logits, new_state = apply_fn(params, state, images, train=True, rng=rng)
+        loss = cross_entropy(logits, labels, label_smoothing)
+        acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+        return loss, (new_state, acc)
+
+    @partial(
+        jax.jit,
+        donate_argnums=(0,),
+        in_shardings=(None, rep, data_sh, data_sh),
+        out_shardings=None,
+    )
+    def step(carry, rng, images, labels):
+        params, state, opt_state = carry
+        r_aug, r_drop = jax.random.split(rng)
+        if augment:
+            images = augment_batch(r_aug, images)
+        (loss, (new_state, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, state, r_drop, images, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, new_state, opt_state), loss, acc
+
+    return step
+
+
+def make_parallel_eval_step(apply_fn: Callable, mesh: Mesh, num_classes: int):
+    """Sharded eval step -> (top1_sum, top5_sum, n) scalars (psum'd by XLA)."""
+    data_sh = batch_sharding(mesh)
+
+    @partial(jax.jit, in_shardings=(None, None, data_sh, data_sh), out_shardings=None)
+    def step(params, state, images, labels):
+        logits, _ = apply_fn(params, state, images, train=False)
+        preds = jnp.argmax(logits, -1)
+        top1 = jnp.sum(preds == labels)
+        _, topk_idx = jax.lax.top_k(logits, min(5, num_classes))
+        top5 = jnp.sum(jnp.any(topk_idx == labels[:, None], axis=-1))
+        return top1, top5, labels.shape[0]
+
+    return step

@@ -1,0 +1,76 @@
+"""Shared helpers for quantization transforms: layer walking and weight packing.
+
+A "layer" is any dict in the params pytree containing key 'w'. Walking is by
+path (e.g. 'conv1', 'layer3/2/conv2') so per-layer policies (quantnet/quantize/
+policy.py) can address layers the way the reference's importance map addressed
+modules (reference models/optimized_custom_quantization.py:79-103).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+from quantnet.core.quantize import quantize_symmetric
+from quantnet.core.types import QTensor
+
+
+def is_layer(node) -> bool:
+    return isinstance(node, dict) and "w" in node
+
+
+def walk_layers(params: dict, fn: Callable[[str, dict], dict], prefix: str = "") -> dict:
+    """Rebuild the params tree, applying fn(path, layer_dict) to every layer."""
+    out = {}
+    for k, v in params.items():
+        path = f"{prefix}/{k}" if prefix else str(k)
+        if is_layer(v):
+            out[k] = fn(path, v)
+        elif isinstance(v, dict):
+            out[k] = walk_layers(v, fn, path)
+        else:
+            out[k] = v
+    return out
+
+
+def layer_paths(params: dict, prefix: str = "") -> list:
+    paths = []
+    for k, v in params.items():
+        path = f"{prefix}/{k}" if prefix else str(k)
+        if is_layer(v):
+            paths.append(path)
+        elif isinstance(v, dict):
+            paths.extend(layer_paths(v, path))
+    return paths
+
+
+def quantize_weight(w, per_channel: bool) -> QTensor:
+    """Symmetric INT8 weight quantization; channel axis = last (HWIO / KN)."""
+    axis = (w.ndim - 1) if per_channel else None
+    return quantize_symmetric(w, axis=axis)
+
+
+def weight_colsum(qw: QTensor) -> jnp.ndarray:
+    """Per-output-channel sum of int8 weight values (int32[O]).
+
+    Precomputed zero-point correction term for the static path:
+    (qx - zp) * qw needs zp * sum(qw) — computed once at quantize time,
+    never in the hot loop.
+    """
+    v = qw.values.astype(jnp.int32)
+    red = tuple(range(v.ndim - 1))
+    return jnp.sum(v, axis=red)
+
+
+def resolve_policy(
+    path: str, default: str, policy: Optional[Dict[str, str]]
+) -> str:
+    """Most-specific-match lookup: exact path, then leaf name, else default."""
+    if not policy:
+        return default
+    if path in policy:
+        return policy[path]
+    leaf = path.rsplit("/", 1)[-1]
+    if leaf in policy:
+        return policy[leaf]
+    return default

@@ -1,0 +1,133 @@
+"""Mixed-precision policy engine: per-layer scheme selection.
+
+The reference's "optimized" scheme aspired to importance-weighted per-layer
+qconfigs but assigned the identical dynamic qconfig in all three importance
+branches (reference models/optimized_custom_quantization.py:105-128; SURVEY.md
+behavior note 4). Here the policy is real: a sensitivity analysis measures each
+layer's quantization damage and emits a per-layer {path: scheme} table that the
+scheme transforms (dynamic/static/weight_only) consume via `layer_policy`.
+
+Importance heuristics supported:
+  - "static_map": the reference's hand-written importance tiers
+    (optimized_custom_quantization.py:79-103) generalized by layer position;
+  - "sensitivity": measured — quantize one layer at a time, compare logits
+    against FP32 on probe batches (KL/MSE), rank layers, keep the most
+    sensitive ones at higher precision.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quantnet.core.types import DynamicActQuant
+from quantnet.quantize import weight_only
+from quantnet.quantize.common import layer_paths, quantize_weight, walk_layers
+from quantnet.quantize.fold import fold_model
+
+
+def static_importance_map(paths: List[str]) -> Dict[str, float]:
+    """Positional importance: first layer (input stem) and last layer (head)
+    most sensitive, early layers more sensitive than late — the generalized
+    form of the reference's {conv1: 1.0, block conv1: 0.9, conv2: 0.7,
+    conv3: 0.5} table (optimized_custom_quantization.py:85-100)."""
+    n = max(len(paths) - 1, 1)
+    imp = {}
+    for i, p in enumerate(paths):
+        if i == 0 or i == len(paths) - 1:
+            imp[p] = 1.0
+        else:
+            imp[p] = 0.9 - 0.4 * (i - 1) / n
+    return imp
+
+
+def measure_sensitivity(
+    apply_fn: Callable,
+    params: dict,
+    state: dict,
+    probe_batches: Iterable,
+    *,
+    per_channel: bool = True,
+) -> Dict[str, float]:
+    """Per-layer quantization damage: MSE(FP32 logits, logits with only that
+    layer weight-quantized), averaged over probe batches. Pure measurement —
+    one jitted forward per (layer, batch)."""
+    fparams, fstate = fold_model(params, state)
+    paths = layer_paths(fparams)
+    batches = [b[0] if isinstance(b, (tuple, list)) else b for b in probe_batches]
+
+    @jax.jit
+    def logits_of(p, x):
+        out, _ = apply_fn(p, fstate, x)
+        return out
+
+    damage = {}
+    for target in paths:
+
+        def q_one(path, layer):
+            if path != target:
+                return dict(layer)
+            out = dict(layer)
+            out["w"] = quantize_weight(layer["w"], per_channel)
+            out["aq"] = DynamicActQuant()
+            return out
+
+        qp = walk_layers(fparams, q_one)
+        errs = []
+        for x in batches:
+            ref = logits_of(fparams, x)
+            got = logits_of(qp, x)
+            errs.append(float(jnp.mean((ref - got) ** 2)))
+        damage[target] = sum(errs) / max(len(errs), 1)
+    return damage
+
+
+def build_policy(
+    importance: Dict[str, float],
+    *,
+    keep_fp32_fraction: float = 0.25,
+    low_precision_scheme: str = "dynamic",
+) -> Dict[str, str]:
+    """Turn an importance/damage map into a {path: scheme} table: the top
+    `keep_fp32_fraction` most important layers stay FP32 (or weight-only),
+    the rest get `low_precision_scheme`."""
+    ranked = sorted(importance.items(), key=lambda kv: -kv[1])
+    n_keep = max(1, int(round(len(ranked) * keep_fp32_fraction)))
+    policy = {}
+    for i, (path, _) in enumerate(ranked):
+        policy[path] = "fp32" if i < n_keep else low_precision_scheme
+    return policy
+
+
+def quantize_optimized(
+    params: dict,
+    state: dict,
+    apply_fn: Callable,
+    probe_batches: Optional[Iterable] = None,
+    *,
+    importance: str = "sensitivity",  # or "static_map"
+    keep_fp32_fraction: float = 0.25,
+    per_channel: bool = True,
+) -> Tuple[dict, dict, Dict[str, str]]:
+    """The end-to-end "optimized" scheme: analyze -> policy -> quantize.
+
+    Returns (qparams, qstate, policy) so reports can show the chosen table.
+    """
+    fparams, fstate = fold_model(params, state)
+    paths = layer_paths(fparams)
+    if importance == "sensitivity" and probe_batches is not None:
+        imp = measure_sensitivity(
+            apply_fn, params, state, probe_batches, per_channel=per_channel
+        )
+    else:
+        imp = static_importance_map(paths)
+    policy = build_policy(imp, keep_fp32_fraction=keep_fp32_fraction)
+    qparams, qstate = weight_only.quantize(
+        params,
+        state,
+        per_channel=per_channel,
+        skip_last_layer=False,
+        layer_policy={p: ("fp32" if s == "fp32" else "weight_only") for p, s in policy.items()},
+    )
+    return qparams, qstate, policy

@@ -1,0 +1,112 @@
+"""Static PTQ: calibrated, frozen per-tensor activation scale/zero-point.
+
+This is the scheme the reference *named* but never implemented — its
+StaticPTQModel ignored the calibration loader and fell back to dynamic quant
+(reference models/static_ptq_model.py:19-34; SURVEY.md behavior note 3). Here
+calibration actually runs: a jitted step captures every quantizable layer's
+input activation, updates an observer pytree on device (min-max, moving-average
+or histogram — quantnet/core/observers.py), and the resulting frozen affine
+params are baked into the quantized tree as ActQuant leaves.
+
+The resulting inference graph is fully-INT8 compute: every conv/matmul runs
+int8 x int8 -> int32 on the MXU; the inter-layer dequant->requant chains are
+elementwise and fused by XLA into the surrounding ops (they never round-trip
+through HBM), which is the TPU equivalent of an explicit int8 tensor handoff.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+
+from quantnet.core.observers import make_observer
+from quantnet.core.types import ActQuant
+from quantnet.quantize.common import (
+    quantize_weight,
+    resolve_policy,
+    walk_layers,
+    weight_colsum,
+)
+from quantnet.quantize.fold import fold_model
+
+# apply_fn contract: apply_fn(params, state, x, capture=dict) -> (logits, state)
+ApplyFn = Callable
+
+
+def calibrate(
+    apply_fn: ApplyFn,
+    params: dict,
+    state: dict,
+    batches: Iterable,
+    *,
+    observer: str = "minmax",
+    observer_kwargs: Optional[dict] = None,
+) -> Dict[str, Tuple[jax.Array, jax.Array]]:
+    """Run calibration batches, return {layer_path: (scale, zero_point)}.
+
+    `params` must already be BN-folded (capture hooks live on the folded path).
+    The per-batch observer update is a single jitted function over the whole
+    observer pytree — one device program per batch, no per-layer host syncs.
+    """
+    observer_kwargs = observer_kwargs or {}
+
+    # Trace once to discover capture keys (uses jax.eval_shape - no FLOPs).
+    def _probe(params, state, x):
+        cap = {}
+        apply_fn(params, state, x, capture=cap)
+        return cap
+
+    first = None
+    batches = iter(batches)
+    first_batch = next(batches)
+    x0 = first_batch[0] if isinstance(first_batch, (tuple, list)) else first_batch
+    cap_shapes = jax.eval_shape(_probe, params, state, x0)
+    obs = {k: make_observer(observer, **observer_kwargs) for k in cap_shapes}
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(obs, x):
+        cap = {}
+        apply_fn(params, state, x, capture=cap)
+        return {k: obs[k].update(cap[k]) for k in obs}
+
+    obs = step(obs, x0)
+    for batch in batches:
+        x = batch[0] if isinstance(batch, (tuple, list)) else batch
+        obs = step(obs, x)
+
+    return {k: o.qparams() for k, o in obs.items()}
+
+
+def quantize(
+    params: dict,
+    state: dict,
+    apply_fn: ApplyFn,
+    calibration_batches: Iterable,
+    *,
+    observer: str = "minmax",
+    per_channel: bool = True,
+    skip_last_layer: bool = False,
+    layer_policy: Optional[dict] = None,
+    last_layer_name: str = "fc2",
+) -> Tuple[dict, dict]:
+    """FP32 (params, state) -> statically-quantized (params', {})."""
+    params, state = fold_model(params, state)
+    act_qparams = calibrate(
+        apply_fn, params, state, calibration_batches, observer=observer
+    )
+
+    def q(path: str, layer: dict) -> dict:
+        action = resolve_policy(path, "static", layer_policy)
+        leaf = path.rsplit("/", 1)[-1]
+        if action == "fp32" or (skip_last_layer and leaf == last_layer_name):
+            return dict(layer)
+        out = dict(layer)
+        qw = quantize_weight(layer["w"], per_channel)
+        out["w"] = qw
+        scale, zp = act_qparams[path]
+        out["aq"] = ActQuant(scale=scale, zero_point=zp)
+        out["wsum"] = weight_colsum(qw)
+        return out
+
+    return walk_layers(params, q), state

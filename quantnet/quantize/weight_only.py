@@ -1,0 +1,44 @@
+"""Custom per-channel weight-only INT8 quantization.
+
+Scheme 3, the intent of the reference's "custom/proposed" scheme
+(models/custom_quantization_model.py: per-layer quant islands with FP32 tensors
+between layers, last layer deliberately FP32 at :219). TPU-native realization:
+weights live packed INT8 in HBM per-output-channel; activations stay
+fp32/bf16; the per-channel dequant scale is applied in the matmul/conv epilogue
+(quantnet/ops/linear.py, quantnet/ops/conv.py), so the only extra cost vs FP32
+is the epilogue multiply while HBM weight traffic drops 4x.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from quantnet.quantize.common import quantize_weight, resolve_policy, walk_layers
+from quantnet.quantize.fold import fold_model
+
+
+def quantize(
+    params: dict,
+    state: dict,
+    *,
+    per_channel: bool = True,
+    skip_last_layer: bool = True,
+    layer_policy: Optional[dict] = None,
+    last_layer_name: str = "fc2",
+) -> Tuple[dict, dict]:
+    """FP32 (params, state) -> weight-only-quantized (params', {}).
+
+    skip_last_layer defaults True to match the reference custom scheme's
+    fc2-stays-FP32 choice (custom_quantization_model.py:219).
+    """
+    params, state = fold_model(params, state)
+
+    def q(path: str, layer: dict) -> dict:
+        action = resolve_policy(path, "weight_only", layer_policy)
+        leaf = path.rsplit("/", 1)[-1]
+        if action == "fp32" or (skip_last_layer and leaf == last_layer_name):
+            return dict(layer)
+        out = dict(layer)
+        out["w"] = quantize_weight(layer["w"], per_channel)
+        return out
+
+    return walk_layers(params, q), state

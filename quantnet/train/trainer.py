@@ -1,0 +1,252 @@
+"""FP32 training: jitted train step, optax optimizers, best-checkpoint logic.
+
+Capability parity with both reference trainers, collapsed into one (SURVEY.md
+component 8/9 recommendation):
+  - "sgd_cosine": SGD(momentum 0.9, weight decay 5e-4) + cosine annealing over
+    `epochs` — reference model_trainer.py:26-44 (the run_experiment.py trainer);
+  - "adam_plateau": Adam + reduce-on-plateau (factor 0.5, patience 2) stepped on
+    test loss — reference train_model.py:30-31,83.
+
+TPU-native design: the whole epoch's inner loop is one jitted, donated
+train_step (loss -> grads -> optimizer update) over device-resident batches;
+data augmentation (random crop + flip, the device-executable subset of the
+reference transform at utils/dataset_manager.py:31-38) runs inside the same jit.
+Best-accuracy checkpointing keeps the {params, opt_state, epoch, best_accuracy}
+contract of model_trainer.py:93-99 via orbax, and reloads the best checkpoint at
+the end (model_trainer.py:104-106).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from quantnet.core.config import TrainConfig
+from quantnet.data.datasets import Dataset
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+    if cfg.optimizer == "sgd_cosine":
+        schedule = optax.cosine_decay_schedule(
+            cfg.lr, decay_steps=max(cfg.epochs * steps_per_epoch, 1)
+        )
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(schedule, momentum=cfg.momentum),
+        )
+        return tx, None
+    if cfg.optimizer == "adam_plateau":
+        # plateau factor applied outside jit via a scale state (reference
+        # train_model.py ReduceLROnPlateau semantics)
+        tx = optax.chain(
+            optax.scale_by_adam(),
+            optax.inject_hyperparams(lambda lr: optax.scale(-lr))(lr=cfg.lr),
+        )
+        return tx, {"patience": 2, "factor": 0.5, "best": np.inf, "bad": 0}
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+
+def augment_batch(rng, images):
+    """Random crop (4px reflect pad) + horizontal flip, on device, vectorized."""
+    n, h, w, c = images.shape
+    k1, k2, k3 = jax.random.split(rng, 3)
+    padded = jnp.pad(images, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
+    ys = jax.random.randint(k1, (n,), 0, 9)
+    xs = jax.random.randint(k2, (n,), 0, 9)
+
+    def crop(img, y, x):
+        return jax.lax.dynamic_slice(img, (y, x, 0), (h, w, c))
+
+    images = jax.vmap(crop)(padded, ys, xs)
+    flip = jax.random.bernoulli(k3, 0.5, (n,))
+    return jnp.where(flip[:, None, None, None], images[:, :, ::-1, :], images)
+
+
+def cross_entropy(logits, labels, label_smoothing: float = 0.0):
+    nc = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, nc)
+    if label_smoothing > 0:
+        onehot = onehot * (1 - label_smoothing) + label_smoothing / nc
+    return -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1))
+
+
+def make_train_step(apply_fn: Callable, tx, label_smoothing: float = 0.0, augment: bool = True):
+    """Returns jitted step((params, state, opt_state), rng, images, labels)."""
+
+    def loss_fn(params, state, rng, images, labels):
+        logits, new_state = apply_fn(params, state, images, train=True, rng=rng)
+        loss = cross_entropy(logits, labels, label_smoothing)
+        acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+        return loss, (new_state, acc)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(carry, rng, images, labels):
+        params, state, opt_state = carry
+        r_aug, r_drop = jax.random.split(rng)
+        if augment:
+            images = augment_batch(r_aug, images)
+        (loss, (new_state, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, r_drop, images, labels
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, new_state, opt_state), loss, acc
+
+    return step
+
+
+def make_eval_step(apply_fn: Callable):
+    @jax.jit
+    def step(params, state, images, labels):
+        logits, _ = apply_fn(params, state, images, train=False)
+        loss = cross_entropy(logits, labels)
+        top1 = jnp.sum(jnp.argmax(logits, -1) == labels)
+        return loss * labels.shape[0], top1
+
+    return step
+
+
+class Trainer:
+    """Orchestrates epochs, eval, LR plateau logic and best-checkpointing."""
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        params: dict,
+        state: dict,
+        cfg: TrainConfig,
+        train_data: Dataset,
+        test_data: Dataset,
+        *,
+        augment: bool = True,
+        log: Optional[Callable[[str], None]] = print,
+    ):
+        self.apply_fn = apply_fn
+        self.cfg = cfg
+        self.train_data = train_data
+        self.test_data = test_data
+        self.log = log or (lambda s: None)
+        steps_per_epoch = max(len(train_data) // cfg.batch_size, 1)
+        self.tx, self.plateau = make_optimizer(cfg, steps_per_epoch)
+        # Copy caller-owned trees: the jitted step donates its carry, which
+        # would otherwise delete the caller's arrays after the first step.
+        params = jax.tree_util.tree_map(jnp.copy, params)
+        state = jax.tree_util.tree_map(jnp.copy, state)
+        self.opt_state = self.tx.init(params)
+        self.carry = (params, state, self.opt_state)
+        self.train_step = make_train_step(
+            apply_fn, self.tx, cfg.label_smoothing, augment
+        )
+        self.eval_step = make_eval_step(apply_fn)
+        self.best_accuracy = 0.0
+        self.best = None  # (params, state)
+        self.history = []
+
+    @property
+    def params(self):
+        return self.carry[0]
+
+    @property
+    def state(self):
+        return self.carry[1]
+
+    def evaluate(self) -> Tuple[float, float]:
+        """Returns (test_loss, top1 accuracy) over the full test split."""
+        params, state, _ = self.carry
+        total_loss, total_top1, total_n = 0.0, 0, 0
+        bs = self.cfg.batch_size
+        for images, labels in self.test_data.batches(bs, drop_remainder=False):
+            loss, top1 = self.eval_step(params, state, images, labels)
+            total_loss += float(loss)
+            total_top1 += int(top1)
+            total_n += len(labels)
+        return total_loss / max(total_n, 1), total_top1 / max(total_n, 1)
+
+    def train(self, save_path: Optional[str] = None) -> Tuple[dict, dict]:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            ep_loss, ep_acc, n_steps = 0.0, 0.0, 0
+            for images, labels in self.train_data.batches(
+                cfg.batch_size, shuffle=True, seed=cfg.seed + epoch, drop_remainder=True
+            ):
+                rng, step_rng = jax.random.split(rng)
+                self.carry, loss, acc = self.train_step(
+                    self.carry, step_rng, images, labels
+                )
+                ep_loss += float(loss)
+                ep_acc += float(acc)
+                n_steps += 1
+            test_loss, test_acc = self.evaluate()
+            self._plateau_update(test_loss)
+            dt = time.time() - t0
+            rec = {
+                "epoch": epoch,
+                "train_loss": ep_loss / max(n_steps, 1),
+                "train_acc": ep_acc / max(n_steps, 1),
+                "test_loss": test_loss,
+                "test_acc": test_acc,
+                "seconds": dt,
+            }
+            self.history.append(rec)
+            self.log(
+                f"epoch {epoch}: train_loss={rec['train_loss']:.4f} "
+                f"train_acc={rec['train_acc']:.4f} test_acc={test_acc:.4f} ({dt:.1f}s)"
+            )
+            if test_acc > self.best_accuracy:
+                self.best_accuracy = test_acc
+                params, state, _ = self.carry
+                self.best = (jax.tree_util.tree_map(jnp.copy, params),
+                             jax.tree_util.tree_map(jnp.copy, state))
+                if save_path:
+                    self.save_checkpoint(save_path, epoch)
+        # reload best (reference model_trainer.py:104-106)
+        if self.best is not None:
+            params, state = self.best
+            self.carry = (params, state, self.carry[2])
+        return self.carry[0], self.carry[1]
+
+    def _plateau_update(self, test_loss: float):
+        if self.plateau is None:
+            return
+        p = self.plateau
+        if test_loss < p["best"] - 1e-6:
+            p["best"], p["bad"] = test_loss, 0
+            return
+        p["bad"] += 1
+        if p["bad"] > p["patience"]:
+            p["bad"] = 0
+            params, state, opt_state = self.carry
+            # scale the injected lr hyperparam in-place
+            hp = opt_state[1].hyperparams
+            hp["lr"] = hp["lr"] * p["factor"]
+            self.carry = (params, state, opt_state)
+
+    def save_checkpoint(self, path: str, epoch: int):
+        from quantnet.train import checkpoint as ckpt
+
+        params, state, opt_state = self.carry
+        ckpt.save(
+            path,
+            {
+                "params": params,
+                "state": state,
+                "opt_state": opt_state,
+                "epoch": epoch,
+                "best_accuracy": self.best_accuracy,
+            },
+        )
+
+    def save_history(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            for rec in self.history:
+                f.write(json.dumps(rec) + "\n")

@@ -1,0 +1,164 @@
+"""Model-level tests: shapes, BN folding, and scheme-level accuracy parity.
+
+The reference's per-module smoke tests checked only output shapes
+(models/baseline_model.py:85-95); here each quantized variant is additionally
+held to a logit-agreement bound vs FP32 — the systematized form of the
+reference's single numeric check (static_ptq_model.py:78-95).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantnet.core.types import QTensor, tree_nbytes
+from quantnet.models import convnet
+from quantnet.quantize import dynamic, fold, static, weight_only
+from quantnet.quantize.common import layer_paths
+
+
+@pytest.fixture(scope="module")
+def model():
+    params, state = convnet.init(jax.random.PRNGKey(0))
+    return params, state
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+
+
+class TestConvNet:
+    def test_output_shape(self, model, batch):
+        params, state = model
+        logits, _ = convnet.apply(params, state, batch)
+        assert logits.shape == (8, 10)
+
+    def test_param_count(self, model):
+        params, _ = model
+        n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        # reference SimpleConvNet ~3.25M params (SURVEY.md component 1)
+        assert 3.0e6 < n < 3.5e6
+
+    def test_train_mode_updates_bn_state(self, model, batch):
+        params, state = model
+        _, new_state = convnet.apply(
+            params, state, batch, train=True, rng=jax.random.PRNGKey(2)
+        )
+        changed = jax.tree_util.tree_map(
+            lambda a, b: bool(jnp.any(a != b)), state, new_state
+        )
+        assert any(jax.tree_util.tree_leaves(changed))
+
+    def test_jit_apply(self, model, batch):
+        params, state = model
+        f = jax.jit(lambda p, s, x: convnet.apply(p, s, x)[0])
+        np.testing.assert_allclose(
+            np.asarray(f(params, state, batch)),
+            np.asarray(convnet.apply(params, state, batch)[0]),
+            rtol=2e-4, atol=2e-4,
+        )
+
+
+class TestFolding:
+    def test_fold_preserves_inference(self, model, batch):
+        params, state = model
+        ref, _ = convnet.apply(params, state, batch)
+        fparams, fstate = fold.fold_model(params, state)
+        got, _ = convnet.apply(fparams, fstate, batch)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+    def test_fold_removes_bn(self, model):
+        params, state = model
+        fparams, fstate = fold.fold_model(params, state)
+        assert fstate == {}
+        for p in layer_paths(fparams):
+            assert "bn" not in _get(fparams, p)
+
+    def test_fold_idempotent(self, model):
+        params, state = model
+        f1, s1 = fold.fold_model(params, state)
+        f2, s2 = fold.fold_model(f1, s1)
+        for a, b in zip(jax.tree_util.tree_leaves(f1), jax.tree_util.tree_leaves(f2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _get(tree, path):
+    node = tree
+    for part in path.split("/"):
+        node = node[part]
+    return node
+
+
+def _logit_mad(a, b):
+    return float(jnp.mean(jnp.abs(a - b)))
+
+
+class TestSchemes:
+    """Each scheme: logits close to FP32, all targeted layers quantized,
+    model size compressed ~4x."""
+
+    def _fp32_logits(self, model, batch):
+        params, state = model
+        return convnet.apply(params, state, batch)[0]
+
+    def test_dynamic(self, model, batch):
+        params, state = model
+        qp, qs = dynamic.quantize(params, state)
+        logits, _ = convnet.apply(qp, qs, batch)
+        ref = self._fp32_logits(model, batch)
+        scale = float(jnp.std(ref))
+        assert _logit_mad(logits, ref) < 0.1 * scale
+        for p in layer_paths(qp):
+            assert isinstance(_get(qp, p)["w"], QTensor), p
+
+    def test_static(self, model, batch):
+        params, state = model
+        calib = [batch]
+        qp, qs = static.quantize(params, state, convnet.apply, calib)
+        logits, _ = convnet.apply(qp, qs, batch)
+        ref = self._fp32_logits(model, batch)
+        scale = float(jnp.std(ref))
+        assert _logit_mad(logits, ref) < 0.15 * scale
+        for p in layer_paths(qp):
+            layer = _get(qp, p)
+            assert isinstance(layer["w"], QTensor), p
+            assert "aq" in layer and "wsum" in layer, p
+
+    def test_weight_only(self, model, batch):
+        params, state = model
+        qp, qs = weight_only.quantize(params, state)
+        logits, _ = convnet.apply(qp, qs, batch)
+        ref = self._fp32_logits(model, batch)
+        scale = float(jnp.std(ref))
+        assert _logit_mad(logits, ref) < 0.05 * scale
+        # fc2 stays fp32 by default (reference custom scheme choice)
+        assert not isinstance(_get(qp, "fc2")["w"], QTensor)
+
+    def test_compression_ratio(self, model):
+        params, state = model
+        fparams, _ = fold.fold_model(params, state)
+        qp, _ = dynamic.quantize(params, state)
+        ratio = tree_nbytes(fparams) / tree_nbytes(qp)
+        assert ratio > 3.5, ratio
+
+    def test_skip_last_layer_knob(self, model):
+        params, state = model
+        qp, _ = dynamic.quantize(params, state, skip_last_layer=True)
+        assert not isinstance(_get(qp, "fc2")["w"], QTensor)
+
+    def test_layer_policy(self, model):
+        params, state = model
+        qp, _ = dynamic.quantize(
+            params, state, layer_policy={"conv1": "fp32", "fc1": "fp32"}
+        )
+        assert not isinstance(_get(qp, "conv1")["w"], QTensor)
+        assert not isinstance(_get(qp, "fc1")["w"], QTensor)
+        assert isinstance(_get(qp, "conv2")["w"], QTensor)
+
+    def test_quantized_apply_jits(self, model, batch):
+        params, state = model
+        qp, qs = dynamic.quantize(params, state)
+        f = jax.jit(lambda p, s, x: convnet.apply(p, s, x)[0])
+        a = f(qp, qs, batch)
+        b = convnet.apply(qp, qs, batch)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)

@@ -1,0 +1,222 @@
+"""Kernel-level correctness: every int8 op path vs the fp32/fake-quant oracle.
+
+Every compute path in quantnet/ops (weight-only, dynamic, static; linear and
+conv) is validated against an fp32 matmul/conv over fake-quantized operands —
+the backend-independent oracle of SURVEY.md section 7 step 3.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantnet.core.quantize import (
+    affine_qparams,
+    fake_quantize_affine,
+    fake_quantize_symmetric,
+    quantize_symmetric,
+)
+from quantnet.core.types import ActQuant, DynamicActQuant
+from quantnet.ops.conv import _im2col, conv2d
+from quantnet.ops.linear import linear
+from quantnet.quantize.common import weight_colsum
+
+
+def _mk_linear(rng, k=64, n=32, bias=True):
+    kw, kb = jax.random.split(rng)
+    w = jax.random.normal(kw, (k, n)) * 0.1
+    b = jax.random.normal(kb, (n,)) if bias else None
+    layer = {"w": w}
+    if bias:
+        layer["b"] = b
+    return layer
+
+
+def _mk_conv(rng, kh=3, kw=3, ci=8, co=16, bias=True):
+    k1, k2 = jax.random.split(rng)
+    w = jax.random.normal(k1, (kh, kw, ci, co)) * 0.1
+    layer = {"w": w}
+    if bias:
+        layer["b"] = jax.random.normal(k2, (co,))
+    return layer
+
+
+class TestLinearPaths:
+    def test_fp32(self, rng):
+        layer = _mk_linear(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+        y = linear(layer, x)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x @ layer["w"] + layer["b"]), rtol=1e-5
+        )
+
+    def test_weight_only_matches_fakequant_oracle(self, rng):
+        layer = _mk_linear(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+        qlayer = dict(layer, w=quantize_symmetric(layer["w"], axis=1))
+        y = linear(qlayer, x)
+        oracle = x @ fake_quantize_symmetric(layer["w"], axis=1) + layer["b"]
+        np.testing.assert_allclose(np.asarray(y), np.asarray(oracle), rtol=1e-4, atol=1e-5)
+
+    def test_dynamic_matches_fakequant_oracle(self, rng):
+        layer = _mk_linear(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+        qlayer = dict(
+            layer, w=quantize_symmetric(layer["w"], axis=1), aq=DynamicActQuant()
+        )
+        y = linear(qlayer, x)
+        # oracle: fake-quantize both operands (per-row x, per-col w), fp32 matmul
+        fx = fake_quantize_symmetric(x, axis=0)
+        fw = fake_quantize_symmetric(layer["w"], axis=1)
+        oracle = fx @ fw + layer["b"]
+        np.testing.assert_allclose(np.asarray(y), np.asarray(oracle), rtol=1e-3, atol=1e-4)
+
+    def test_static_matches_fakequant_oracle(self, rng):
+        layer = _mk_linear(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 64)) + 0.5
+        scale, zp = affine_qparams(jnp.min(x), jnp.max(x))
+        qw = quantize_symmetric(layer["w"], axis=1)
+        qlayer = dict(
+            layer, w=qw, aq=ActQuant(scale=scale, zero_point=zp), wsum=weight_colsum(qw)
+        )
+        y = linear(qlayer, x)
+        fx = fake_quantize_affine(x, scale, zp)
+        fw = fake_quantize_symmetric(layer["w"], axis=1)
+        oracle = fx @ fw + layer["b"]
+        np.testing.assert_allclose(np.asarray(y), np.asarray(oracle), rtol=1e-3, atol=1e-4)
+
+    def test_relu_fused(self, rng):
+        layer = _mk_linear(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+        y = linear(layer, x, activation="relu")
+        assert float(jnp.min(y)) >= 0.0
+
+    def test_jit_traces_once_per_variant(self, rng):
+        layer = _mk_linear(rng)
+        qlayer = dict(layer, w=quantize_symmetric(layer["w"], axis=1))
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+        f = jax.jit(linear)
+        np.testing.assert_allclose(
+            np.asarray(f(qlayer, x)), np.asarray(linear(qlayer, x)), rtol=1e-5
+        )
+
+
+class TestIm2col:
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_matches_conv(self, rng, stride):
+        x = jax.random.normal(rng, (2, 8, 8, 4))
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 6))
+        patches = _im2col(x, 3, 3, stride)
+        y = patches.reshape(-1, 3 * 3 * 4) @ w.reshape(-1, 6)
+        n, ho, wo, _ = patches.shape
+        y = y.reshape(n, ho, wo, 6)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (stride, stride), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_int8_dtype_preserved(self, rng):
+        x = (jax.random.normal(rng, (1, 6, 6, 2)) * 10).astype(jnp.int8)
+        patches = _im2col(x, 3, 3, 1)
+        assert patches.dtype == jnp.int8
+
+
+class TestConvPaths:
+    def _oracle_conv(self, x, w, b, stride=1):
+        y = jax.lax.conv_general_dilated(
+            x, w, (stride, stride), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return y + b if b is not None else y
+
+    def test_fp32(self, rng):
+        layer = _mk_conv(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 8))
+        y = conv2d(layer, x)
+        ref = self._oracle_conv(x, layer["w"], layer["b"])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def test_weight_only_oracle(self, rng):
+        layer = _mk_conv(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 8))
+        qlayer = dict(layer, w=quantize_symmetric(layer["w"], axis=3))
+        y = conv2d(qlayer, x)
+        ref = self._oracle_conv(x, fake_quantize_symmetric(layer["w"], axis=3), layer["b"])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_dynamic_oracle(self, rng, stride):
+        layer = _mk_conv(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 8))
+        qlayer = dict(layer, w=quantize_symmetric(layer["w"], axis=3), aq=DynamicActQuant())
+        y = conv2d(qlayer, x, stride=stride)
+        fx = fake_quantize_symmetric(x, axis=None)
+        fw = fake_quantize_symmetric(layer["w"], axis=3)
+        ref = jax.lax.conv_general_dilated(
+            fx, fw, (stride, stride), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + layer["b"]
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_static_oracle_with_zero_point_padding(self, rng, stride):
+        """The hard case: asymmetric input quant + SAME padding. fp32 zeros at
+        the border must behave identically in the int8 domain (zp padding +
+        wsum correction)."""
+        layer = _mk_conv(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 8)) + 1.0
+        scale, zp = affine_qparams(jnp.min(x), jnp.max(x))
+        qw = quantize_symmetric(layer["w"], axis=3)
+        qlayer = dict(
+            layer, w=qw, aq=ActQuant(scale=scale, zero_point=zp), wsum=weight_colsum(qw)
+        )
+        y = conv2d(qlayer, x, stride=stride)
+        fx = fake_quantize_affine(x, scale, zp)
+        fw = fake_quantize_symmetric(layer["w"], axis=3)
+        ref = jax.lax.conv_general_dilated(
+            fx, fw, (stride, stride), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + layer["b"]
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+    def test_conv_backends_agree(self, rng):
+        """Backend cross-check: native XLA int8 conv, im2col+int8 GEMM and the
+        f32-emulated path must agree (the first two bitwise — exact integer
+        arithmetic; emulate within fp rounding)."""
+        from quantnet.core import config as cfg
+
+        layer = _mk_conv(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 8))
+        qlayer = dict(layer, w=quantize_symmetric(layer["w"], axis=3), aq=DynamicActQuant())
+        old = cfg.flags.int8_conv_backend
+        results = {}
+        try:
+            for backend in ("xla", "im2col", "emulate"):
+                cfg.flags.int8_conv_backend = backend
+                results[backend] = conv2d(qlayer, x)
+        finally:
+            cfg.flags.int8_conv_backend = old
+        np.testing.assert_allclose(
+            np.asarray(results["xla"]), np.asarray(results["im2col"]),
+            rtol=1e-6, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(results["xla"]), np.asarray(results["emulate"]),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_matmul_backends_agree(self, rng):
+        from quantnet.core import config as cfg
+        from quantnet.ops.linear import linear
+
+        layer = _mk_linear(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (16, 64))
+        qlayer = dict(layer, w=quantize_symmetric(layer["w"], axis=1), aq=DynamicActQuant())
+        old = cfg.flags.int8_matmul_backend
+        results = {}
+        try:
+            for backend in ("xla", "emulate"):
+                cfg.flags.int8_matmul_backend = backend
+                results[backend] = linear(qlayer, x)
+        finally:
+            cfg.flags.int8_matmul_backend = old
+        np.testing.assert_allclose(
+            np.asarray(results["xla"]), np.asarray(results["emulate"]),
+            rtol=1e-4, atol=1e-4,
+        )

@@ -1,0 +1,149 @@
+"""Sharding/collective tests on the virtual 8-device CPU mesh.
+
+The multi-device fake backend the reference never had (SURVEY.md section 4):
+data-parallel and tensor-parallel execution must be numerically identical to
+single-device, and the driver's dryrun_multichip contract must hold.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantnet.core.config import TrainConfig
+from quantnet.models import convnet
+from quantnet.parallel import mesh as meshlib
+from quantnet.parallel.steps import make_parallel_eval_step, make_parallel_train_step
+from quantnet.train.trainer import make_optimizer, make_train_step
+
+
+@pytest.fixture(scope="module")
+def model():
+    return convnet.init(jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def batch():
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    y = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, 10)
+    return x, y
+
+
+def test_mesh_shapes():
+    m = meshlib.make_mesh(4, 2)
+    assert m.devices.shape == (4, 2)
+    m = meshlib.make_mesh(-1, 1)
+    assert m.devices.shape == (len(jax.devices()), 1)
+
+
+def test_mesh_too_big_raises():
+    with pytest.raises(ValueError):
+        meshlib.make_mesh(64, 2)
+
+
+class TestDataParallel:
+    def test_eval_step_matches_single_device(self, model, batch):
+        params, state = model
+        images, labels = batch
+        mesh = meshlib.make_mesh(8, 1)
+        with mesh:
+            p = meshlib.shard_params(mesh, params)
+            s = meshlib.shard_params(mesh, state)
+            im, lb = meshlib.shard_batch(mesh, (images, labels))
+            step = make_parallel_eval_step(convnet.apply, mesh, 10)
+            top1, top5, n = step(p, s, im, lb)
+        logits, _ = convnet.apply(params, state, images)
+        want = int(jnp.sum(jnp.argmax(logits, -1) == labels))
+        assert int(top1) == want
+        assert int(n) == 16
+
+    def test_train_step_runs_and_updates(self, model, batch):
+        params, state = model
+        images, labels = batch
+        mesh = meshlib.make_mesh(8, 1)
+        cfg = TrainConfig(epochs=1, batch_size=16)
+        tx, _ = make_optimizer(cfg, 10)
+        with mesh:
+            # copy before sharding: device_put may alias uncommitted source
+            # buffers, and the step donates its carry
+            p = meshlib.shard_params(mesh, jax.tree_util.tree_map(jnp.copy, params))
+            s = meshlib.shard_params(mesh, jax.tree_util.tree_map(jnp.copy, state))
+            opt = tx.init(p)
+            step = make_parallel_train_step(convnet.apply, tx, mesh, augment=False)
+            im, lb = meshlib.shard_batch(mesh, (images, labels))
+            (p2, s2, opt2), loss, acc = step((p, s, opt), jax.random.PRNGKey(0), im, lb)
+        assert np.isfinite(float(loss))
+        # params actually changed
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), params, p2
+        )
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+    def test_dp_grads_match_single_device(self, model, batch):
+        """Same batch, same rng: sharded step == unsharded step (psum correctness)."""
+        params, state = model
+        images, labels = batch
+        cfg = TrainConfig(epochs=1, batch_size=16)
+        tx, _ = make_optimizer(cfg, 10)
+
+        single = make_train_step(convnet.apply, tx, augment=False)
+        # the step donates its carry — hand it copies, not the shared fixture
+        cp = jax.tree_util.tree_map(jnp.copy, params)
+        cs = jax.tree_util.tree_map(jnp.copy, state)
+        opt = tx.init(cp)
+        (sp, _, _), sloss, _ = single(
+            (cp, cs, opt), jax.random.PRNGKey(0), images, labels
+        )
+
+        mesh = meshlib.make_mesh(8, 1)
+        with mesh:
+            p = meshlib.shard_params(mesh, jax.tree_util.tree_map(jnp.copy, params))
+            s = meshlib.shard_params(mesh, jax.tree_util.tree_map(jnp.copy, state))
+            opt2 = tx.init(p)
+            step = make_parallel_train_step(convnet.apply, tx, mesh, augment=False)
+            im, lb = meshlib.shard_batch(mesh, (images, labels))
+            (pp, _, _), ploss, _ = step((p, s, opt2), jax.random.PRNGKey(0), im, lb)
+
+        assert abs(float(sloss) - float(ploss)) < 1e-4
+        for a, b in zip(jax.tree_util.tree_leaves(sp), jax.tree_util.tree_leaves(pp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+class TestTensorParallel:
+    def test_fc_sharded_forward_matches(self, model, batch):
+        params, state = model
+        images, _ = batch
+        mesh = meshlib.make_mesh(4, 2)
+        with mesh:
+            p = meshlib.shard_params(mesh, params, model_parallel=True)
+            s = meshlib.shard_params(mesh, state)
+            im = jax.device_put(images, meshlib.batch_sharding(mesh))
+            f = jax.jit(lambda p, s, x: convnet.apply(p, s, x)[0])
+            got = f(p, s, im)
+        want, _ = convnet.apply(params, state, images)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+    def test_quantized_params_shard(self, model):
+        from quantnet.quantize import dynamic
+
+        params, state = model
+        qp, qs = dynamic.quantize(params, state)
+        mesh = meshlib.make_mesh(4, 2)
+        p = meshlib.shard_params(mesh, qp, model_parallel=True)
+        # fc1 int8 payload sharded on model axis
+        fc1 = p["fc1"]["w"]
+        assert fc1.values.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (32, 10)
+
+    @pytest.mark.parametrize("n", [2, 8])
+    def test_dryrun_multichip(self, n):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(n)

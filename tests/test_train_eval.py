@@ -1,0 +1,159 @@
+"""Training, evaluation, checkpoint and data-pipeline tests.
+
+Reference semantics covered: best-checkpoint save/reload
+(model_trainer.py:93-106), both optimizer variants, top-1/top-5 evaluation
+(utils/model_evaluator.py:15-55), artifact round-trips.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantnet.core.config import TrainConfig
+from quantnet.data.datasets import Dataset, load_cifar10, make_synthetic
+from quantnet.evaluation.evaluator import Evaluator, compare_models
+from quantnet.models import convnet
+from quantnet.train import checkpoint as ckpt
+from quantnet.train.trainer import Trainer, augment_batch, cross_entropy
+
+
+@pytest.fixture(scope="module")
+def tiny_data():
+    return make_synthetic(10, 32, train_size=256, test_size=128, seed=7)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return convnet.init(jax.random.PRNGKey(0))
+
+
+class TestData:
+    def test_synthetic_fallback(self, tmp_path):
+        train, test = load_cifar10(str(tmp_path / "nonexistent"))
+        assert len(train) > 0 and len(test) > 0
+        assert train.images.shape[1:] == (32, 32, 3)
+        assert train.images.dtype == np.float32
+
+    def test_batches_static_shape_with_padding(self, tiny_data):
+        _, test = tiny_data
+        shapes = {
+            x.shape[0]
+            for x, _ in test.batches(50, pad_remainder=True)
+        }
+        assert shapes == {50}
+
+    def test_batches_deterministic_shuffle(self, tiny_data):
+        train, _ = tiny_data
+        a = [y[0] for _, y in train.batches(32, shuffle=True, seed=3)]
+        b = [y[0] for _, y in train.batches(32, shuffle=True, seed=3)]
+        assert a == b
+
+    def test_synthetic_learnable(self, tiny_data):
+        # class prototypes are distinguishable by nearest-prototype
+        train, _ = tiny_data
+        assert len(np.unique(train.labels)) == 10
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, tiny_data, model):
+        train, test = tiny_data
+        params, state = model
+        cfg = TrainConfig(epochs=3, batch_size=64, lr=0.05, seed=0)
+        tr = Trainer(convnet.apply, params, state, cfg, train, test, log=None)
+        tr.train()
+        losses = [h["train_loss"] for h in tr.history]
+        assert losses[-1] < losses[0]
+        assert tr.best_accuracy > 0.0
+
+    def test_adam_plateau_variant(self, tiny_data, model):
+        train, test = tiny_data
+        params, state = model
+        cfg = TrainConfig(
+            epochs=2, batch_size=64, lr=1e-3, optimizer="adam_plateau", seed=0
+        )
+        tr = Trainer(convnet.apply, params, state, cfg, train, test, log=None)
+        tr.train()
+        assert len(tr.history) == 2
+
+    def test_augment_shapes_and_determinism(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+        a = augment_batch(jax.random.PRNGKey(1), x)
+        b = augment_batch(jax.random.PRNGKey(1), x)
+        assert a.shape == x.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_cross_entropy_matches_manual(self):
+        logits = jnp.array([[2.0, 0.0, -1.0]])
+        labels = jnp.array([0])
+        got = float(cross_entropy(logits, labels))
+        want = -float(jax.nn.log_softmax(logits)[0, 0])
+        assert abs(got - want) < 1e-6
+
+
+class TestEvaluator:
+    def test_top1_top5_bounds(self, tiny_data, model):
+        _, test = tiny_data
+        params, state = model
+        ev = Evaluator(convnet.apply, test, batch_size=64)
+        res = ev.evaluate(params, state)
+        assert 0.0 <= res["top1"] <= res["top5"] <= 1.0
+        assert res["n"] == len(test)
+
+    def test_perfect_oracle_model(self, tiny_data):
+        # a fake apply that always predicts the right label via capture of
+        # labels is impossible; instead check a constant model's top1 ~ class
+        # frequency of its favorite class
+        _, test = tiny_data
+
+        def const_apply(params, state, x, train=False, rng=None, capture=None):
+            logits = jnp.zeros((x.shape[0], 10)).at[:, 3].set(1.0)
+            return logits, state
+
+        ev = Evaluator(const_apply, test, batch_size=64)
+        res = ev.evaluate({}, {})
+        freq3 = float(np.mean(test.labels == 3))
+        assert abs(res["top1"] - freq3) < 1e-6
+
+    def test_compare_models_dict(self, tiny_data, model):
+        _, test = tiny_data
+        params, state = model
+        out = compare_models(
+            {"a": (convnet.apply, params, state)}, test, batch_size=64
+        )
+        assert "a" in out and "top1" in out["a"]
+
+
+class TestCheckpoint:
+    def test_artifact_roundtrip_fp32(self, model, tmp_path):
+        params, state = model
+        path = str(tmp_path / "art")
+        ckpt.save_artifact(path, {"params": params, "state": state}, {"k": 1})
+        tree, meta = ckpt.load_artifact(path)
+        assert meta == {"k": 1}
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(tree["params"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_artifact_roundtrip_quantized(self, model, tmp_path):
+        from quantnet.quantize import static
+
+        params, state = model
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+        qp, qs = static.quantize(params, state, convnet.apply, [(x, None)])
+        path = str(tmp_path / "qart")
+        ckpt.save_artifact(path, {"params": qp, "state": qs}, {"scheme": "static"})
+        tree, _ = ckpt.load_artifact(path)
+        ref, _ = convnet.apply(qp, qs, x)
+        got, _ = convnet.apply(tree["params"], tree["state"], x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_orbax_roundtrip(self, model, tmp_path):
+        params, state = model
+        path = str(tmp_path / "orbax_ckpt")
+        ckpt.save(path, {"params": params, "epoch": 3})
+        restored = ckpt.restore(path)
+        assert int(np.asarray(restored["epoch"])) == 3
