@@ -125,9 +125,9 @@ def apply(
 
     if conv1_scale != 1.0:
         x = x * conv1_scale
-    ns1 = new_state["conv1"] if train else {}
+    ns1 = new_state.get("conv1", {}) if train else {}
     x = _conv_bn(
-        params["conv1"], state["conv1"], ns1, x,
+        params["conv1"], state.get("conv1", {}), ns1, x,
         stride=2, padding="SAME", train=train, relu=True, capture=capture, path="conv1",
     )
     if train:
@@ -139,30 +139,30 @@ def apply(
         for bi in range(STAGES[si]):
             b = str(bi)
             bp = params[stage][b]
-            bs = state[stage][b]
-            nbs = new_state[stage][b] if train else {}
+            bs = state.get(stage, {}).get(b, {})
+            nbs = new_state.get(stage, {}).get(b, {}) if train else {}
             stride = 2 if (bi == 0 and si > 0) else 1
             prefix = f"{stage}/{b}"
 
             identity = x
             out = _conv_bn(
-                bp["conv1"], bs["conv1"], nbs.setdefault("conv1", {}) if train else {},
+                bp["conv1"], bs.get("conv1", {}), nbs.setdefault("conv1", {}) if train else {},
                 x, stride=1, padding="VALID", train=train, relu=True,
                 capture=capture, path=f"{prefix}/conv1",
             )
             out = _conv_bn(
-                bp["conv2"], bs["conv2"], nbs.setdefault("conv2", {}) if train else {},
+                bp["conv2"], bs.get("conv2", {}), nbs.setdefault("conv2", {}) if train else {},
                 out, stride=stride, padding="SAME", train=train, relu=True,
                 capture=capture, path=f"{prefix}/conv2",
             )
             out = _conv_bn(
-                bp["conv3"], bs["conv3"], nbs.setdefault("conv3", {}) if train else {},
+                bp["conv3"], bs.get("conv3", {}), nbs.setdefault("conv3", {}) if train else {},
                 out, stride=1, padding="VALID", train=train, relu=False,
                 capture=capture, path=f"{prefix}/conv3",
             )
             if "downsample" in bp:
                 identity = _conv_bn(
-                    bp["downsample"], bs["downsample"],
+                    bp["downsample"], bs.get("downsample", {}),
                     nbs.setdefault("downsample", {}) if train else {},
                     x, stride=stride, padding="VALID", train=train, relu=False,
                     capture=capture, path=f"{prefix}/downsample",

@@ -1,0 +1,123 @@
+"""ResNet-50 tests: shapes, folding, quant-island semantics, conv1_scale knob.
+
+Covers the reference's ImageNet track (SURVEY.md components 5-7): bottleneck
+rebuild, downsample wrapping, fp32-domain residual adds, conv1_scale, and the
+optimized policy path on the deep model. Small spatial size (64px) keeps CPU
+runtime sane; the architecture is identical at 224px.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantnet.core.types import QTensor
+from quantnet.models import resnet
+from quantnet.quantize import dynamic, fold, static, weight_only
+from quantnet.quantize.common import layer_paths
+
+
+@pytest.fixture(scope="module")
+def model():
+    return resnet.init(jax.random.PRNGKey(0), num_classes=100)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+
+
+def _get(tree, path):
+    node = tree
+    for part in path.split("/"):
+        node = node[part]
+    return node
+
+
+class TestResNet50:
+    def test_output_shape(self, model, batch):
+        params, state = model
+        logits, _ = resnet.apply(params, state, batch)
+        assert logits.shape == (2, 100)
+
+    def test_param_count(self, model):
+        params, _ = model
+        n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        # ResNet-50 ~25.5M params (with a 100-class head: ~23.7M)
+        assert 20e6 < n < 28e6
+
+    def test_layer_paths_cover_all_convs(self, model):
+        params, state = model
+        fparams, _ = fold.fold_model(params, state)
+        paths = layer_paths(fparams)
+        # stem + 16 blocks x 3 convs + 4 downsamples + fc = 54
+        assert len(paths) == 54
+        assert "conv1" in paths and "layer3/2/conv2" in paths and "fc" in paths
+
+    def test_fold_preserves_inference(self, model, batch):
+        params, state = model
+        ref, _ = resnet.apply(params, state, batch)
+        fparams, fstate = fold.fold_model(params, state)
+        got, _ = resnet.apply(fparams, fstate, batch)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=5e-2, atol=5e-3
+        )
+
+    def test_conv1_scale_knob(self, model, batch):
+        params, state = model
+        a, _ = resnet.apply(params, state, batch, conv1_scale=1.0)
+        b, _ = resnet.apply(params, state, batch, conv1_scale=0.5)
+        assert float(jnp.max(jnp.abs(a - b))) > 0
+
+    def test_train_mode_runs(self, model, batch):
+        params, state = model
+        logits, new_state = resnet.apply(
+            params, state, batch, train=True, rng=jax.random.PRNGKey(0)
+        )
+        changed = jax.tree_util.tree_map(
+            lambda x, y: bool(jnp.any(x != y)), state, new_state
+        )
+        assert any(jax.tree_util.tree_leaves(changed))
+
+
+class TestResNetQuant:
+    def test_dynamic_quantizes_all_convs(self, model, batch):
+        params, state = model
+        qp, qs = dynamic.quantize(params, state, last_layer_name="fc")
+        for p in layer_paths(qp):
+            assert isinstance(_get(qp, p)["w"], QTensor), p
+        ref, _ = resnet.apply(params, state, batch)
+        got, _ = resnet.apply(qp, qs, batch)
+        # deep net accumulates quant noise; logit MAD bounded by logit scale
+        assert float(jnp.mean(jnp.abs(got - ref))) < 0.35 * float(jnp.std(ref))
+
+    def test_static_with_calibration(self, model, batch):
+        params, state = model
+        qp, qs = static.quantize(
+            params, state, resnet.apply, [(batch, None)], last_layer_name="fc"
+        )
+        got, _ = resnet.apply(qp, qs, batch)
+        ref, _ = resnet.apply(params, state, batch)
+        assert np.isfinite(np.asarray(got)).all()
+        assert float(jnp.mean(jnp.abs(got - ref))) < 0.5 * float(jnp.std(ref))
+        # every quantizable layer got an ActQuant island
+        for p in layer_paths(qp):
+            assert "aq" in _get(qp, p), p
+
+    def test_weight_only_skip_head(self, model, batch):
+        params, state = model
+        qp, qs = weight_only.quantize(
+            params, state, skip_last_layer=True, last_layer_name="fc"
+        )
+        assert not isinstance(qp["fc"]["w"], QTensor)
+        assert isinstance(_get(qp, "layer1/0/conv1")["w"], QTensor)
+        got, _ = resnet.apply(qp, qs, batch)
+        ref, _ = resnet.apply(params, state, batch)
+        assert float(jnp.mean(jnp.abs(got - ref))) < 0.1 * float(jnp.std(ref))
+
+    def test_compression(self, model):
+        from quantnet.core.types import tree_nbytes
+
+        params, state = model
+        fparams, _ = fold.fold_model(params, state)
+        qp, _ = dynamic.quantize(params, state, last_layer_name="fc")
+        assert tree_nbytes(fparams) / tree_nbytes(qp) > 3.5
