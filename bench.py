@@ -11,27 +11,44 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 BASELINE_IMG_S = 1724.14  # reference custom-quant INT8 throughput @ bs32
+_T0 = time.time()
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def main() -> None:
     import jax
+
+    # Persistent compile cache: tunnel-attached devices can take minutes per
+    # fresh program; cached compiles make reruns cheap.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/quantnet_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from quantnet.bench.benchmark import InferenceBenchmark
     from quantnet.models import convnet
     from quantnet.quantize import static
 
+    _log(f"devices: {jax.devices()}")
     rng = jax.random.PRNGKey(0)
     params, state = convnet.init(rng)
     calib = jax.random.normal(jax.random.PRNGKey(1), (256, 32, 32, 3), jnp.float32)
+    _log("init done; quantizing (static PTQ)")
     qparams, qstate = static.quantize(params, state, convnet.apply, [(calib, None)])
+    jax.block_until_ready(qparams)
+    _log("quantize done; benchmarking")
 
-    bench = InferenceBenchmark(image_size=32, warmup=10, iters=50)
+    bench = InferenceBenchmark(image_size=32, warmup=5, iters=200)
     # TPU-appropriate batch: big enough to fill the MXU pipeline.
     bs = 1024
     stats = bench.measure(convnet.apply, qparams, qstate, bs)
+    _log(f"measure done: {stats}")
     value = stats["images_per_s"]
     print(
         json.dumps(

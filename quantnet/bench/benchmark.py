@@ -4,11 +4,18 @@ Behavioral contract from the reference's InferenceBenchmark
 (utils/inference_benchmark.py:14-157: warm_up 10 iters, 100 timed iters at
 batch 1 and 32, mean±std ms, images/s, compare_models loop) — but with TPU
 methodology (SURVEY.md section 6 'hard parts'): compile time separated from
-steady state (first call excluded by explicit warmup of the jitted fn),
-``block_until_ready`` brackets every timed region, p50/p95 percentiles, images
-per second per chip, and HBM footprint from array nbytes instead of
-torch.cuda.max_memory_allocated (the reference crashed on no-CUDA hosts,
-utils/result_analyzer.py:113-121 — device timing here is backend-neutral).
+steady state, p50/p95 percentiles, images per second per chip, and HBM
+footprint from array nbytes instead of torch.cuda.max_memory_allocated (the
+reference crashed on no-CUDA hosts, utils/result_analyzer.py:113-121).
+
+Timing is **chain-differenced**: per-call wall-clock timing is meaningless on
+an asynchronously-dispatched remote device (dispatch returns before the
+compute runs, and every result fetch pays a host<->device round trip that can
+exceed the compute itself). Instead, K forward iterations are chained inside
+ONE device program via lax.scan — with a real (numerically negligible) data
+dependency between iterations so XLA cannot hoist or CSE them — and the
+per-iteration time is the slope between a long chain and a 1-iteration chain,
+which cancels the dispatch + fetch overhead exactly.
 """
 from __future__ import annotations
 
@@ -23,30 +30,79 @@ import numpy as np
 from quantnet.core.types import tree_nbytes
 
 
-def time_fn(
-    fn: Callable[[], jax.Array],
-    *,
-    warmup: int = 10,
-    iters: int = 100,
-) -> Dict[str, float]:
-    """Time fn() (which must return a device array) with block_until_ready.
+def make_chained_forward(apply_fn: Callable) -> Callable:
+    """jitted (params, state, x, n) -> scalar, running n forwards serially.
 
-    Returns mean/std/p50/p95 in milliseconds.
+    Each iteration feeds a ~1e-24-scaled summary of its logits back into the
+    next input: numerically a no-op, but a true data dependency, so the loop
+    body executes n times on device. n is a *runtime* value (lax.fori_loop), so
+    one compiled program serves every chain length — compiles are the dominant
+    cost on a remote-tunnel device, sometimes minutes per program.
     """
-    for _ in range(warmup):
-        fn().block_until_ready()
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        fn().block_until_ready()
-        times.append((time.perf_counter() - t0) * 1e3)
-    times_sorted = sorted(times)
+
+    def run(params, state, x, n):
+        def body(_, c):
+            y, _s = apply_fn(params, state, c, train=False)
+            return c + (jnp.sum(y) * 1e-24).astype(c.dtype)
+
+        xf = jax.lax.fori_loop(0, n, body, x)
+        return xf[(0,) * xf.ndim]
+
+    return jax.jit(run)
+
+
+# One jitted chained program per apply_fn: jax.jit's signature cache then
+# handles different params structures / batch shapes without rebuilding the
+# Python callable (a fresh jit wrapper per call would force a full retrace).
+_CHAINED_CACHE: Dict[int, Callable] = {}
+
+
+def chained_forward(apply_fn: Callable) -> Callable:
+    key = id(apply_fn)
+    if key not in _CHAINED_CACHE:
+        _CHAINED_CACHE[key] = make_chained_forward(apply_fn)
+    return _CHAINED_CACHE[key]
+
+
+def _fetch_time_ms(fn, *args) -> float:
+    """Wall time of one dispatch + scalar fetch (forces full completion)."""
+    t0 = time.perf_counter()
+    float(fn(*args))
+    return (time.perf_counter() - t0) * 1e3
+
+
+def time_chained(
+    fn: Callable,
+    args: tuple,
+    *,
+    long_iters: int,
+    short_iters: int = 1,
+    windows: int = 5,
+) -> Dict[str, float]:
+    """Per-iteration stats from (long-chain - short-chain) / (K - k) slopes.
+
+    The short-chain time measures dispatch + fetch + per-call constant
+    overhead; differencing cancels it exactly (same program, same transfers).
+    Returns mean/std/p50/p95/min in milliseconds per iteration.
+    """
+    n_short = jnp.int32(short_iters)
+    n_long = jnp.int32(long_iters)
+    # Compile + warm (excluded from timing).
+    float(fn(*args, n_short))
+    float(fn(*args, n_long))
+    shorts = [_fetch_time_ms(fn, *args, n_short) for _ in range(windows)]
+    base = min(shorts)  # best-case overhead estimate
+    per_iter = []
+    for _ in range(windows):
+        t = _fetch_time_ms(fn, *args, n_long)
+        per_iter.append(max(t - base, 0.0) / (long_iters - short_iters))
+    s = sorted(per_iter)
     return {
-        "mean_ms": statistics.fmean(times),
-        "std_ms": statistics.pstdev(times),
-        "p50_ms": times_sorted[len(times) // 2],
-        "p95_ms": times_sorted[min(int(len(times) * 0.95), len(times) - 1)],
-        "min_ms": times_sorted[0],
+        "mean_ms": statistics.fmean(per_iter),
+        "std_ms": statistics.pstdev(per_iter),
+        "p50_ms": s[len(s) // 2],
+        "p95_ms": s[min(int(len(s) * 0.95), len(s) - 1)],
+        "min_ms": s[0],
     }
 
 
@@ -89,15 +145,13 @@ class InferenceBenchmark:
     ) -> Dict[str, float]:
         """Latency stats + throughput for one (model, batch size)."""
         x = self._input(batch_size)
-        fwd = jax.jit(lambda p, s, x: apply_fn(p, s, x, train=False)[0])
-        # Explicit compile phase (not counted): reference warm_up was 10 eager
-        # iters (inference_benchmark.py:14-28); under jit one AOT compile + a
-        # few steady-state warmups is the honest equivalent.
-        compiled = fwd.lower(params, state, x).compile()
-        stats = time_fn(
-            lambda: compiled(params, state, x),
-            warmup=self.warmup,
-            iters=self.iters,
+        long_iters = max(self.iters, 2)
+        fn = chained_forward(apply_fn)
+        stats = time_chained(
+            fn,
+            (params, state, x),
+            long_iters=long_iters,
+            windows=max(min(self.warmup, 10), 3),
         )
         stats["batch_size"] = batch_size
         stats["ms_per_image"] = stats["mean_ms"] / batch_size

@@ -25,26 +25,61 @@ from typing import Dict, Tuple
 import jax
 
 
-def _build_model(name: str, num_classes: int, seed: int = 0):
+def _build_model(name: str, num_classes: int, seed: int = 0, conv1_scale: float = 1.0):
     if name == "simple_convnet":
         from quantnet.models import convnet as mod
+
+        apply_fn = mod.apply
     elif name == "resnet50":
+        import functools
+
         from quantnet.models import resnet as mod
+
+        # conv1_scale: the reference's custom input-scale knob on the stem conv
+        # (models/dynamic_ptq_model.py:13-32,157-164).
+        apply_fn = (
+            functools.partial(mod.apply, conv1_scale=conv1_scale)
+            if conv1_scale != 1.0
+            else mod.apply
+        )
     else:
         raise SystemExit(f"unknown model {name!r}")
     params, state = mod.init(jax.random.PRNGKey(seed), num_classes=num_classes)
-    return mod.apply, params, state
+    return apply_fn, params, state
 
 
 def _load_data(args):
-    from quantnet.data.datasets import CIFAR10_CLASSES, load_cifar10
+    dataset = getattr(args, "dataset", "cifar10")
+    if dataset == "cifar10":
+        from quantnet.data.datasets import CIFAR10_CLASSES, load_cifar10
 
-    train, test = load_cifar10(
-        args.data_dir,
-        synthetic_train_size=args.synthetic_train_size,
-        synthetic_test_size=args.synthetic_test_size,
-    )
-    return train, test, CIFAR10_CLASSES
+        train, test = load_cifar10(
+            args.data_dir,
+            synthetic_train_size=args.synthetic_train_size,
+            synthetic_test_size=args.synthetic_test_size,
+        )
+        return train, test, CIFAR10_CLASSES
+    if dataset == "imagenet":
+        from quantnet.data.datasets import load_imagenet
+
+        train, test = load_imagenet(
+            args.data_dir,
+            image_size=args.image_size,
+            synthetic_train_size=args.synthetic_train_size,
+            synthetic_test_size=args.synthetic_test_size,
+        )
+        return train, test, None
+    if dataset == "synthetic":
+        from quantnet.data.datasets import make_synthetic
+
+        train, test = make_synthetic(
+            args.num_classes,
+            args.image_size,
+            args.synthetic_train_size,
+            args.synthetic_test_size,
+        )
+        return train, test, None
+    raise SystemExit(f"unknown dataset {dataset!r}")
 
 
 def _artifact_path(save_dir: str, name: str) -> str:
@@ -64,8 +99,15 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
         params, state, apply_fn, calib, observer=args.observer
     )
     out["weight_only"] = weight_only.quantize(params, state)
+    importance = getattr(args, "importance", None) or (
+        # Measured sensitivity needs one trace per layer; default to the
+        # positional importance map for deep models (54 layers in ResNet-50).
+        "sensitivity" if args.model == "simple_convnet" else "static_map"
+    )
     qp, qs, policy = quantize_optimized(
-        params, state, apply_fn, calib[: max(args.calibration_batches // 4, 1)]
+        params, state, apply_fn,
+        calib[: max(args.calibration_batches // 4, 1)],
+        importance=importance,
     )
     out["optimized"] = (qp, qs)
     out["_policy"] = policy
@@ -77,7 +119,9 @@ def cmd_train(args):
     from quantnet.train.trainer import Trainer
 
     train_data, test_data, _ = _load_data(args)
-    apply_fn, params, state = _build_model(args.model, train_data.num_classes, args.seed)
+    apply_fn, params, state = _build_model(
+        args.model, train_data.num_classes, args.seed, args.conv1_scale
+    )
     cfg = TrainConfig(
         epochs=args.epochs,
         batch_size=args.batch_size,
@@ -121,7 +165,9 @@ def cmd_quantize(args):
         raise SystemExit(f"no fp32 artifact under {args.save_dir}; run train first")
     params, state, meta = loaded
     train_data, _, _ = _load_data(args)
-    apply_fn, _, _ = _build_model(args.model, train_data.num_classes)
+    apply_fn, _, _ = _build_model(
+        args.model, train_data.num_classes, conv1_scale=args.conv1_scale
+    )
     schemes = _quantize_all(apply_fn, params, state, train_data, args)
     policy = schemes.pop("_policy", None)
     for name, (qp, qs) in schemes.items():
@@ -141,7 +187,9 @@ def _collect_models(args):
     from quantnet.train import checkpoint as ckpt
 
     train_data, test_data, classes = _load_data(args)
-    apply_fn, _, _ = _build_model(args.model, train_data.num_classes)
+    apply_fn, _, _ = _build_model(
+        args.model, train_data.num_classes, conv1_scale=args.conv1_scale
+    )
     models = {}
     for name in ["fp32", "dynamic", "static", "weight_only", "optimized"]:
         path = _artifact_path(args.save_dir, name)
@@ -175,7 +223,7 @@ def cmd_bench(args):
     if not models:
         raise SystemExit("no artifacts to bench; run train/quantize first")
     bench = InferenceBenchmark(
-        image_size=test_data.images.shape[1],
+        image_size=test_data.image_size,
         warmup=args.warmup,
         iters=args.iters,
     )
@@ -192,6 +240,35 @@ def cmd_bench(args):
                 f"({s['images_per_s']:.1f} img/s)"
             )
     return results
+
+
+def cmd_scaling(args):
+    """Data-parallel scaling-efficiency sweep over the available devices."""
+    from quantnet.bench.scaling import measure_scaling
+
+    models, test_data, _ = _collect_models(args)
+    if models:
+        name = "static" if "static" in models else sorted(models)[0]
+        apply_fn, params, state = models[name]
+    else:
+        name = "fp32-init"
+        apply_fn, params, state = _build_model(
+            args.model, args.num_classes, args.seed, args.conv1_scale
+        )
+    res = measure_scaling(
+        apply_fn, params, state,
+        image_size=args.image_size,
+        per_device_batch=args.per_device_batch,
+        iters=args.iters,
+    )
+    os.makedirs(args.results_dir, exist_ok=True)
+    with open(os.path.join(args.results_dir, "scaling.json"), "w") as f:
+        json.dump({"model": name, **{k: {str(n): v for n, v in d.items()}
+                                     for k, d in res.items()}}, f, indent=2)
+    for n, tp in sorted(res["throughput"].items()):
+        eff = res["efficiency"].get(n, 1.0)
+        print(f"{name} x{n} devices: {tp:.1f} img/s (efficiency {eff:.1%})")
+    return res
 
 
 def cmd_report(args):
@@ -228,7 +305,20 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
-        sp.add_argument("--model", default="simple_convnet")
+        sp.add_argument("--model", default=None,
+                        help="simple_convnet | resnet50 "
+                             "(default: simple_convnet; resnet50 for imagenet)")
+        sp.add_argument("--dataset", default="cifar10",
+                        choices=["cifar10", "imagenet", "synthetic"])
+        sp.add_argument("--image-size", type=int, default=None,
+                        help="default: 32 (cifar10/synthetic), 224 (imagenet)")
+        sp.add_argument("--num-classes", type=int, default=None,
+                        help="default: 10 (cifar10/synthetic), 1000 (imagenet)")
+        sp.add_argument("--conv1-scale", type=float, default=1.0,
+                        help="resnet50 stem input scale (reference custom_scale)")
+        sp.add_argument("--importance", default=None,
+                        choices=[None, "sensitivity", "static_map"],
+                        help="layer-importance source for the optimized scheme")
         sp.add_argument("--data-dir", default="./data")
         sp.add_argument("--save-dir", default="./saved_models")
         sp.add_argument("--results-dir", default="./results")
@@ -272,6 +362,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--report-batch-size", type=int, default=32)
     sp.set_defaults(fn=cmd_report)
 
+    sp = sub.add_parser("scaling")
+    common(sp)
+    sp.add_argument("--per-device-batch", type=int, default=256)
+    sp.add_argument("--iters", type=int, default=20)
+    sp.set_defaults(fn=cmd_scaling)
+
     sp = sub.add_parser("experiment")
     common(sp)
     sp.add_argument("--epochs", type=int, default=20)
@@ -290,8 +386,22 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _resolve_defaults(args):
+    """Dataset-dependent defaults, mirroring the reference's two tracks:
+    SimpleConvNet+CIFAR-10 (main.py) and ResNet-50+ImageNet-val
+    (models/dynamic_ptq_model.py ResNet family)."""
+    imagenet = getattr(args, "dataset", "cifar10") == "imagenet"
+    if args.model is None:
+        args.model = "resnet50" if imagenet else "simple_convnet"
+    if args.image_size is None:
+        args.image_size = 224 if imagenet else 32
+    if args.num_classes is None:
+        args.num_classes = 1000 if imagenet else 10
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _resolve_defaults(args)
     args.fn(args)
 
 

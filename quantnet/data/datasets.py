@@ -40,15 +40,38 @@ CIFAR10_CLASSES = (
 
 @dataclass
 class Dataset:
-    """In-memory split: images NHWC float32 (normalized), labels int32."""
+    """In-memory split: labels int32 plus image storage in one of two forms —
+    normalized float32 NHWC (`images`), or raw uint8 (`raw_u8` + `mean`/`std`),
+    in which case batches are assembled (gather + normalize, C++ threads, 4x
+    less host RAM) by the native loader (quantnet/data/native_loader.py)."""
 
-    images: np.ndarray
+    images: Optional[np.ndarray]
     labels: np.ndarray
     num_classes: int
     name: str
+    raw_u8: Optional[np.ndarray] = None
+    mean: Optional[np.ndarray] = None
+    std: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
-        return self.images.shape[0]
+        return self.labels.shape[0]
+
+    @property
+    def image_size(self) -> int:
+        store = self.images if self.images is not None else self.raw_u8
+        return store.shape[1]
+
+    @property
+    def channels(self) -> int:
+        store = self.images if self.images is not None else self.raw_u8
+        return store.shape[3]
+
+    def _batcher(self):
+        if getattr(self, "_nb", None) is None:
+            from quantnet.data.native_loader import NativeBatcher
+
+            self._nb = NativeBatcher(self.raw_u8, self.labels, self.mean, self.std)
+        return self._nb
 
     def batches(
         self,
@@ -63,6 +86,13 @@ class Dataset:
         by wrapping (static shapes for jit) and a mask is encoded by repeating
         labels — callers that care use `len(self)` to cut the tail."""
         n = len(self)
+        if self.raw_u8 is not None and shuffle and drop_remainder:
+            # Training epoch: native assembly with a one-deep prefetch thread
+            # (the next batch is built while the device runs the current step).
+            yield from self._batcher().epoch(
+                batch_size, shuffle=True, augment=False, seed=seed
+            )
+            return
         idx = np.arange(n)
         if shuffle:
             np.random.default_rng(seed).shuffle(idx)
@@ -71,7 +101,10 @@ class Dataset:
             sel = idx[start : start + batch_size]
             if len(sel) < batch_size and pad_remainder:
                 sel = np.concatenate([sel, idx[: batch_size - len(sel)]])
-            yield self.images[sel], self.labels[sel]
+            if self.raw_u8 is not None:
+                yield self._batcher().prepare(sel.astype(np.int64), augment=False)
+            else:
+                yield self.images[sel], self.labels[sel]
 
 
 def _find_cifar10_dir(data_dir: str) -> Optional[str]:
@@ -101,12 +134,17 @@ def _load_cifar10_real(batch_dir: str) -> Tuple[Dataset, Dataset]:
     xte, yte = load_file(os.path.join(batch_dir, "test_batch"))
 
     def prep(x):
-        x = x.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1).astype(np.float32) / 255.0
-        return (x - CIFAR10_MEAN) / CIFAR10_STD
+        # Keep storage uint8 NHWC; normalization happens at batch-assembly
+        # time in the native loader (4x less host RAM than f32 storage).
+        return np.ascontiguousarray(
+            x.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        )
 
     return (
-        Dataset(prep(xtr), ytr, 10, "cifar10-train"),
-        Dataset(prep(xte), yte, 10, "cifar10-test"),
+        Dataset(None, ytr, 10, "cifar10-train", raw_u8=prep(xtr),
+                mean=CIFAR10_MEAN, std=CIFAR10_STD),
+        Dataset(None, yte, 10, "cifar10-test", raw_u8=prep(xte),
+                mean=CIFAR10_MEAN, std=CIFAR10_STD),
     )
 
 
@@ -163,6 +201,72 @@ def _find_imagenet_dir(data_dir: str) -> Optional[str]:
     return None
 
 
+def _load_imagenet_real(
+    val_dir: str, image_size: int, max_images: Optional[int] = None
+) -> Dataset:
+    """Decode an ImageFolder-layout val split (val/<wnid>/*.JPEG) with PIL:
+    Resize(256) -> CenterCrop(image_size) -> normalize — the reference's val
+    transform (utils/dataset_manager.py:23-28)."""
+    from PIL import Image
+
+    classes = sorted(
+        d for d in os.listdir(val_dir) if os.path.isdir(os.path.join(val_dir, d))
+    )
+    class_idx = {c: i for i, c in enumerate(classes)}
+    resize = int(image_size * 256 / 224)
+    images, labels = [], []
+    for c in classes:
+        cdir = os.path.join(val_dir, c)
+        for fname in sorted(os.listdir(cdir)):
+            img = Image.open(os.path.join(cdir, fname)).convert("RGB")
+            w, h = img.size
+            s = resize / min(w, h)
+            img = img.resize((round(w * s), round(h * s)), Image.BILINEAR)
+            w, h = img.size
+            left, top = (w - image_size) // 2, (h - image_size) // 2
+            img = img.crop((left, top, left + image_size, top + image_size))
+            images.append(np.asarray(img, np.float32) / 255.0)
+            labels.append(class_idx[c])
+            if max_images is not None and len(images) >= max_images:
+                break
+        if max_images is not None and len(images) >= max_images:
+            break
+    x = (np.stack(images) - IMAGENET_MEAN) / IMAGENET_STD
+    return Dataset(x, np.asarray(labels, np.int32), len(classes), "imagenet-val")
+
+
+def load_imagenet(
+    data_dir: str = "./data",
+    *,
+    image_size: int = 224,
+    synthetic_train_size: int = 512,
+    synthetic_test_size: int = 512,
+    num_classes: int = 1000,
+    max_images: Optional[int] = None,
+) -> Tuple[Dataset, Dataset]:
+    """ImageNet (reference utils/dataset_manager.py:62-90 — val split only;
+    the reference's ImageNet track is eval/calibration, never training).
+
+    Returns (calibration_split, val_split). With real data both views are the
+    val split (calibration batches are drawn from its head, like the
+    reference's calibration_data_loader contract, static_ptq_model.py:19);
+    zero-egress fallback is deterministic synthetic data at the same shapes.
+    """
+    real = _find_imagenet_dir(data_dir)
+    if real is not None:
+        val = _load_imagenet_real(
+            os.path.join(real, "val"), image_size, max_images=max_images
+        )
+        return val, val
+    return make_synthetic(
+        num_classes,
+        image_size,
+        synthetic_train_size,
+        synthetic_test_size,
+        name="imagenet-synthetic",
+    )
+
+
 def load_imagenet_val(
     data_dir: str = "./data",
     *,
@@ -170,18 +274,11 @@ def load_imagenet_val(
     synthetic_size: int = 512,
     num_classes: int = 1000,
 ) -> Dataset:
-    """ImageNet validation split (reference utils/dataset_manager.py:62-90).
-
-    Real ImageNet needs JPEG decode (PIL) — gated on directory presence; the
-    zero-egress fallback is synthetic 224x224 data with the same stats contract.
-    """
-    real = _find_imagenet_dir(data_dir)
-    if real is not None:
-        raise NotImplementedError(
-            "real ImageNet-val decoding requires an image decoder; "
-            "mount pre-decoded .npy shards or use the synthetic fallback"
-        )
-    _, test = make_synthetic(
-        num_classes, image_size, 1, synthetic_size, name="imagenet-synthetic"
+    """ImageNet validation split only (see load_imagenet)."""
+    _, test = load_imagenet(
+        data_dir,
+        image_size=image_size,
+        synthetic_test_size=synthetic_size,
+        num_classes=num_classes,
     )
     return test

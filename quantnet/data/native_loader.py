@@ -1,0 +1,225 @@
+"""ctypes bindings + prefetching iterator for the native C++ batch assembler.
+
+The reference parallelized its host input pipeline with PyTorch DataLoader
+worker processes (utils/dataset_manager.py:154,162: num_workers=4,
+pin_memory=True). The TPU-native runtime equivalent is native/dataloader.cpp:
+the dataset stays resident as uint8 (4x less host RAM than float32), and batch
+gather + augmentation (pad/random-crop + hflip, the reference's train
+transform) + normalization run in C++ threads off the GIL, overlapped with
+device compute by a one-deep prefetch thread.
+
+The .so is built on demand from source (g++, cached under native/build); if no
+compiler is available everything falls back to an equivalent numpy path, so
+the framework is importable anywhere.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import queue
+import subprocess
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libqndata.so")
+
+_lib = None
+_lib_checked = False
+
+
+def _build_so() -> bool:
+    src = os.path.join(_NATIVE_DIR, "dataloader.cpp")
+    if not os.path.isfile(src):
+        return False
+    os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
+    cmd = [
+        os.environ.get("CXX", "g++"), "-O3", "-march=native", "-fPIC",
+        "-std=c++17", "-shared", "-pthread", "-o", _SO_PATH, src,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def load_native():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _lib_checked
+    if _lib_checked:
+        return _lib
+    _lib_checked = True
+    if not os.path.isfile(_SO_PATH) or (
+        os.path.isfile(os.path.join(_NATIVE_DIR, "dataloader.cpp"))
+        and os.path.getmtime(os.path.join(_NATIVE_DIR, "dataloader.cpp"))
+        > os.path.getmtime(_SO_PATH)
+    ):
+        if not _build_so():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.qn_prepare_batch.restype = ctypes.c_int
+    lib.qn_prepare_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+    ]
+    lib.qn_shuffle_indices.restype = None
+    lib.qn_shuffle_indices.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64]
+    _lib = lib
+    return _lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def _xorshift(x: int) -> int:
+    """xorshift64* (mirrors native/dataloader.cpp) for bit-identical fallback."""
+    mask = (1 << 64) - 1
+    x &= mask
+    x ^= x >> 12
+    x ^= (x << 25) & mask
+    x ^= x >> 27
+    return (x * 0x2545F4914F6CDD1D) & mask
+
+
+def _augment_params(seed: int, bi: int, pad: int):
+    r = _xorshift((seed + 0x9E3779B97F4A7C15 * (bi + 1)) & ((1 << 64) - 1))
+    dy = int(r % (2 * pad + 1)) - pad
+    r = _xorshift(r)
+    dx = int(r % (2 * pad + 1)) - pad
+    r = _xorshift(r)
+    flip = (r & 1) != 0
+    return dy, dx, flip
+
+
+class NativeBatcher:
+    """Batch assembler over uint8 NHWC image storage.
+
+    images: u8[N, H, W, C]; labels: i32[N]. mean/std are per-channel in [0,1]
+    units. Produces normalized f32 batches; train mode applies random
+    crop(pad)+hflip in C++ (zero-fill pad, matching the on-device
+    augment_batch in quantnet/train/trainer.py).
+    """
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        labels: np.ndarray,
+        mean: np.ndarray,
+        std: np.ndarray,
+        *,
+        num_threads: Optional[int] = None,
+    ):
+        assert images.dtype == np.uint8 and images.ndim == 4
+        self.images = np.ascontiguousarray(images)
+        self.labels = np.ascontiguousarray(labels.astype(np.int32))
+        self.mean = np.ascontiguousarray(mean.astype(np.float32))
+        self.std = np.ascontiguousarray(std.astype(np.float32))
+        self.num_threads = num_threads or min(os.cpu_count() or 1, 8)
+        self.lib = load_native()
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+    def prepare(
+        self,
+        indices: np.ndarray,
+        *,
+        augment: bool = False,
+        pad: int = 4,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Assemble one batch given sample indices."""
+        n, h, w, c = self.images.shape
+        indices = np.ascontiguousarray(indices.astype(np.int64))
+        b = indices.shape[0]
+        out = np.empty((b, h, w, c), np.float32)
+        out_labels = np.empty((b,), np.int32)
+        if self.lib is not None:
+            rc = self.lib.qn_prepare_batch(
+                _ptr(self.images), _ptr(self.labels), n, h, w, c,
+                _ptr(indices), b, _ptr(out), _ptr(out_labels),
+                _ptr(self.mean), _ptr(self.std),
+                pad, int(augment), np.uint64(seed or 1), self.num_threads,
+            )
+            if rc == 0:
+                return out, out_labels
+        return self._prepare_numpy(indices, out, out_labels, augment, pad, seed)
+
+    def _prepare_numpy(self, indices, out, out_labels, augment, pad, seed):
+        """Pure-numpy fallback, bit-identical to the C++ path: same xorshift
+        per-sample RNG, same zero-fill shifted-crop + hflip semantics."""
+        n, h, w, c = self.images.shape
+        batch = self.images[indices].astype(np.float32) / 255.0
+        out_labels[:] = self.labels[indices]
+        if augment:
+            for i in range(len(indices)):
+                dy, dx, flip = _augment_params(seed or 1, i, pad)
+                src = batch[i]
+                ys = np.arange(h) + dy
+                xs = (w - 1 - np.arange(w)) if flip else np.arange(w)
+                xs = xs + dx
+                vy = (ys >= 0) & (ys < h)
+                vx = (xs >= 0) & (xs < w)
+                d = np.zeros_like(src)
+                d[np.ix_(vy, vx)] = src[np.ix_(ys[vy], xs[vx])]
+                batch[i] = d
+        out[:] = (batch - self.mean) / self.std
+        return out, out_labels
+
+    def shuffled_indices(self, seed: int) -> np.ndarray:
+        idx = np.arange(len(self), dtype=np.int64)
+        if self.lib is not None:
+            self.lib.qn_shuffle_indices(_ptr(idx), len(idx), np.uint64(seed or 1))
+        else:
+            np.random.default_rng(seed).shuffle(idx)
+        return idx
+
+    def epoch(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        augment: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = True,
+        prefetch: int = 2,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """One epoch of batches, assembled ahead of time by a prefetch thread
+        so batch i+1 is built while the device runs step i."""
+        idx = self.shuffled_indices(seed) if shuffle else np.arange(len(self), np.int64)
+        end = len(idx) - (len(idx) % batch_size) if drop_remainder else len(idx)
+        starts = list(range(0, end, batch_size))
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+
+        def producer():
+            for bi, s in enumerate(starts):
+                q.put(
+                    self.prepare(
+                        idx[s : s + batch_size],
+                        augment=augment,
+                        seed=(seed * 1_000_003 + bi + 1),
+                    )
+                )
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join()

@@ -62,6 +62,13 @@ def weight_colsum(qw: QTensor) -> jnp.ndarray:
     return jnp.sum(v, axis=red)
 
 
+def last_layer_path(params: dict) -> Optional[str]:
+    """Path of the final (classifier) layer — dict order is model order
+    ('fc2' for SimpleConvNet, 'fc' for ResNet-50)."""
+    paths = layer_paths(params)
+    return paths[-1] if paths else None
+
+
 def resolve_policy(
     path: str, default: str, policy: Optional[Dict[str, str]]
 ) -> str:

@@ -12,11 +12,42 @@ fused on device (no host sync).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
+import jax
+
 from quantnet.core.types import DynamicActQuant
-from quantnet.quantize.common import quantize_weight, resolve_policy, walk_layers
+from quantnet.quantize.common import (
+    last_layer_path,
+    quantize_weight,
+    resolve_policy,
+    walk_layers,
+)
 from quantnet.quantize.fold import fold_model
+
+
+@partial(
+    jax.jit,
+    static_argnames=("per_channel", "skip_last_layer", "policy_items", "last_layer_name"),
+)
+def _transform(params, state, per_channel, skip_last_layer, policy_items, last_layer_name):
+    # Whole transform is one device program: fold + weight quant in one dispatch
+    # (eager per-layer quantization costs a host round-trip per op).
+    params, state = fold_model(params, state)
+    last = last_layer_name or last_layer_path(params)
+    layer_policy = dict(policy_items) if policy_items else None
+
+    def q(path: str, layer: dict) -> dict:
+        action = resolve_policy(path, "dynamic", layer_policy)
+        if action == "fp32" or (skip_last_layer and path == last):
+            return dict(layer)
+        out = dict(layer)
+        out["w"] = quantize_weight(layer["w"], per_channel)
+        out["aq"] = DynamicActQuant()
+        return out
+
+    return walk_layers(params, q), state
 
 
 def quantize(
@@ -26,19 +57,10 @@ def quantize(
     per_channel: bool = True,
     skip_last_layer: bool = False,
     layer_policy: Optional[dict] = None,
-    last_layer_name: str = "fc2",
+    last_layer_name: Optional[str] = None,
 ) -> Tuple[dict, dict]:
     """FP32 (params, state) -> dynamically-quantized (params', {})."""
-    params, state = fold_model(params, state)
-
-    def q(path: str, layer: dict) -> dict:
-        action = resolve_policy(path, "dynamic", layer_policy)
-        leaf = path.rsplit("/", 1)[-1]
-        if action == "fp32" or (skip_last_layer and leaf == last_layer_name):
-            return dict(layer)
-        out = dict(layer)
-        out["w"] = quantize_weight(layer["w"], per_channel)
-        out["aq"] = DynamicActQuant()
-        return out
-
-    return walk_layers(params, q), state
+    policy_items = tuple(sorted(layer_policy.items())) if layer_policy else None
+    return _transform(
+        params, state, per_channel, skip_last_layer, policy_items, last_layer_name
+    )

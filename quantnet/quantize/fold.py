@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
+
 from quantnet.ops.layers import fold_batchnorm_into_conv
 from quantnet.quantize.common import walk_layers
 
@@ -43,6 +45,12 @@ def fold_model(params: dict, state: dict) -> Tuple[dict, dict]:
 
     new_params = walk_layers(params, fold_one)
     return new_params, {}
+
+
+# One device program for the whole fold — folding eagerly would pay a host
+# round-trip per arithmetic op, which over a remote-device tunnel costs more
+# than the fold itself. jit caches per params-tree structure.
+fold_model_jit = jax.jit(fold_model)
 
 
 def _lookup_state(state: dict, path: str):

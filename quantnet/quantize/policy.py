@@ -21,10 +21,12 @@ from typing import Callable, Dict, Iterable, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from quantnet.core.types import DynamicActQuant
 from quantnet.quantize import weight_only
 from quantnet.quantize.common import layer_paths, quantize_weight, walk_layers
-from quantnet.quantize.fold import fold_model
+from quantnet.quantize.fold import fold_model_jit
 
 
 def static_importance_map(paths: List[str]) -> Dict[str, float]:
@@ -52,8 +54,9 @@ def measure_sensitivity(
 ) -> Dict[str, float]:
     """Per-layer quantization damage: MSE(FP32 logits, logits with only that
     layer weight-quantized), averaged over probe batches. Pure measurement —
-    one jitted forward per (layer, batch)."""
-    fparams, fstate = fold_model(params, state)
+    one jitted device program per (layer, batch), including the quantization
+    of the probed layer (no eager per-op dispatches)."""
+    fparams, fstate = fold_model_jit(params, state)
     paths = layer_paths(fparams)
     batches = [b[0] if isinstance(b, (tuple, list)) else b for b in probe_batches]
 
@@ -62,9 +65,8 @@ def measure_sensitivity(
         out, _ = apply_fn(p, fstate, x)
         return out
 
-    damage = {}
-    for target in paths:
-
+    @partial(jax.jit, static_argnames=("target",))
+    def damage_of(fparams, x, ref, target):
         def q_one(path, layer):
             if path != target:
                 return dict(layer)
@@ -74,11 +76,15 @@ def measure_sensitivity(
             return out
 
         qp = walk_layers(fparams, q_one)
-        errs = []
-        for x in batches:
-            ref = logits_of(fparams, x)
-            got = logits_of(qp, x)
-            errs.append(float(jnp.mean((ref - got) ** 2)))
+        got, _ = apply_fn(qp, fstate, x)
+        return jnp.mean((ref - got) ** 2)
+
+    # FP32 reference logits once per batch, outside the per-layer loop.
+    refs = [logits_of(fparams, x) for x in batches]
+
+    damage = {}
+    for target in paths:
+        errs = [float(damage_of(fparams, x, ref, target)) for ref, x in zip(refs, batches)]
         damage[target] = sum(errs) / max(len(errs), 1)
     return damage
 
@@ -114,7 +120,7 @@ def quantize_optimized(
 
     Returns (qparams, qstate, policy) so reports can show the chosen table.
     """
-    fparams, fstate = fold_model(params, state)
+    fparams, fstate = fold_model_jit(params, state)
     paths = layer_paths(fparams)
     if importance == "sensitivity" and probe_batches is not None:
         imp = measure_sensitivity(

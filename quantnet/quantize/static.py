@@ -23,6 +23,7 @@ import jax
 from quantnet.core.observers import make_observer
 from quantnet.core.types import ActQuant
 from quantnet.quantize.common import (
+    last_layer_path,
     quantize_weight,
     resolve_policy,
     walk_layers,
@@ -75,7 +76,9 @@ def calibrate(
         x = batch[0] if isinstance(batch, (tuple, list)) else batch
         obs = step(obs, x)
 
-    return {k: o.qparams() for k, o in obs.items()}
+    # One jitted extraction over the whole observer pytree (the eager per-layer
+    # version pays a host round-trip per scale).
+    return jax.jit(lambda obs: {k: o.qparams() for k, o in obs.items()})(obs)
 
 
 def quantize(
@@ -88,18 +91,38 @@ def quantize(
     per_channel: bool = True,
     skip_last_layer: bool = False,
     layer_policy: Optional[dict] = None,
-    last_layer_name: str = "fc2",
+    last_layer_name: Optional[str] = None,
 ) -> Tuple[dict, dict]:
-    """FP32 (params, state) -> statically-quantized (params', {})."""
-    params, state = fold_model(params, state)
+    """FP32 (params, state) -> statically-quantized (params', {}).
+
+    Two device programs total: the BN fold (jitted) and the weight-quant bake
+    (jitted), plus one jitted calibration step per batch in between.
+    """
+    from quantnet.quantize.fold import fold_model_jit
+
+    params, state = fold_model_jit(params, state)
     act_qparams = calibrate(
         apply_fn, params, state, calibration_batches, observer=observer
     )
+    policy_items = tuple(sorted(layer_policy.items())) if layer_policy else None
+    return _bake(
+        params, state, act_qparams, per_channel, skip_last_layer, policy_items,
+        last_layer_name,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("per_channel", "skip_last_layer", "policy_items", "last_layer_name"),
+)
+def _bake(params, state, act_qparams, per_channel, skip_last_layer, policy_items,
+          last_layer_name):
+    last = last_layer_name or last_layer_path(params)
+    layer_policy = dict(policy_items) if policy_items else None
 
     def q(path: str, layer: dict) -> dict:
         action = resolve_policy(path, "static", layer_policy)
-        leaf = path.rsplit("/", 1)[-1]
-        if action == "fp32" or (skip_last_layer and leaf == last_layer_name):
+        if action == "fp32" or (skip_last_layer and path == last):
             return dict(layer)
         out = dict(layer)
         qw = quantize_weight(layer["w"], per_channel)

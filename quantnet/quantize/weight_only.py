@@ -10,10 +10,38 @@ is the epilogue multiply while HBM weight traffic drops 4x.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
-from quantnet.quantize.common import quantize_weight, resolve_policy, walk_layers
+import jax
+
+from quantnet.quantize.common import (
+    last_layer_path,
+    quantize_weight,
+    resolve_policy,
+    walk_layers,
+)
 from quantnet.quantize.fold import fold_model
+
+
+@partial(
+    jax.jit,
+    static_argnames=("per_channel", "skip_last_layer", "policy_items", "last_layer_name"),
+)
+def _transform(params, state, per_channel, skip_last_layer, policy_items, last_layer_name):
+    params, state = fold_model(params, state)
+    last = last_layer_name or last_layer_path(params)
+    layer_policy = dict(policy_items) if policy_items else None
+
+    def q(path: str, layer: dict) -> dict:
+        action = resolve_policy(path, "weight_only", layer_policy)
+        if action == "fp32" or (skip_last_layer and path == last):
+            return dict(layer)
+        out = dict(layer)
+        out["w"] = quantize_weight(layer["w"], per_channel)
+        return out
+
+    return walk_layers(params, q), state
 
 
 def quantize(
@@ -23,22 +51,17 @@ def quantize(
     per_channel: bool = True,
     skip_last_layer: bool = True,
     layer_policy: Optional[dict] = None,
-    last_layer_name: str = "fc2",
+    last_layer_name: Optional[str] = None,
 ) -> Tuple[dict, dict]:
     """FP32 (params, state) -> weight-only-quantized (params', {}).
 
     skip_last_layer defaults True to match the reference custom scheme's
-    fc2-stays-FP32 choice (custom_quantization_model.py:219).
+    classifier-stays-FP32 choice (custom_quantization_model.py:219); the last
+    layer is auto-detected from the params tree ('fc2' for SimpleConvNet,
+    'fc' for ResNet-50) unless named explicitly. The whole transform runs as
+    one jitted device program.
     """
-    params, state = fold_model(params, state)
-
-    def q(path: str, layer: dict) -> dict:
-        action = resolve_policy(path, "weight_only", layer_policy)
-        leaf = path.rsplit("/", 1)[-1]
-        if action == "fp32" or (skip_last_layer and leaf == last_layer_name):
-            return dict(layer)
-        out = dict(layer)
-        out["w"] = quantize_weight(layer["w"], per_channel)
-        return out
-
-    return walk_layers(params, q), state
+    policy_items = tuple(sorted(layer_policy.items())) if layer_policy else None
+    return _transform(
+        params, state, per_channel, skip_last_layer, policy_items, last_layer_name
+    )

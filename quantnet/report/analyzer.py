@@ -63,6 +63,13 @@ class ResultAnalyzer:
         for name in accuracy:
             bench = benchmark.get(name, {})
             bs_stats = bench.get(f"bs{batch_size}", {})
+            if not bs_stats:
+                # Fall back to the largest benchmarked batch size.
+                sizes = sorted(
+                    int(k[2:]) for k in bench if k.startswith("bs") and k[2:].isdigit()
+                )
+                if sizes:
+                    bs_stats = bench[f"bs{sizes[-1]}"]
             bs1_stats = bench.get("bs1", {})
             table[name] = {
                 "top1": accuracy[name]["top1"] * 100,

@@ -1,0 +1,160 @@
+"""Continuous-batching inference engine.
+
+The reference served inference one DataLoader batch at a time from a blocking
+loop (utils/inference_benchmark.py:107-157, utils/model_evaluator.py:28-46);
+its production story ended there. The TPU-native serving equivalent (SURVEY.md
+section 5, long-context note: the scale axis of this workload is *batch*) is
+request-level continuous batching: callers submit single images at any time,
+a dispatcher thread coalesces whatever is queued into the largest fitting
+batch bucket, and one jitted forward per bucket size serves everything —
+static shapes for XLA, high MXU occupancy under load, bounded latency when
+idle.
+
+Design notes:
+  - bucketed static batch shapes (XLA recompiles per shape; buckets bound the
+    number of programs and are precompiled at startup);
+  - the dispatcher never waits longer than max_wait_ms once a request is
+    pending, and drains eagerly when a full bucket is queued;
+  - padding rides the same program (pad rows are computed and discarded) —
+    at bucket occupancy >= 50% this still beats waiting for a full batch.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class InferenceEngine:
+    """Continuous-batching server over a jitted forward.
+
+    apply_fn(params, state, x, train=False) -> (logits, state); params/state
+    may be any quantized or FP32 artifact tree.
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        params: dict,
+        state: dict,
+        *,
+        image_shape: Tuple[int, int, int] = (32, 32, 3),
+        buckets: Sequence[int] = (1, 8, 32, 128),
+        max_wait_ms: float = 2.0,
+        precompile: bool = True,
+    ):
+        self.params = params
+        self.state = state
+        self.image_shape = tuple(image_shape)
+        self.buckets = tuple(sorted(buckets))
+        self.max_wait_s = max_wait_ms / 1e3
+        self._fwd = jax.jit(
+            lambda p, s, x: apply_fn(p, s, x, train=False)[0]
+        )
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
+        self.stats: Dict[str, float] = {
+            "requests": 0,
+            "batches": 0,
+            "padded_rows": 0,
+        }
+        if precompile:
+            self.warmup()
+        self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._thread.start()
+
+    # -- public API -------------------------------------------------------
+
+    def submit(self, image: np.ndarray) -> "Future[np.ndarray]":
+        """Enqueue one image; resolves to its logits vector."""
+        if tuple(image.shape) != self.image_shape:
+            raise ValueError(f"expected {self.image_shape}, got {image.shape}")
+        fut: Future = Future()
+        self._queue.put((np.asarray(image, np.float32), fut, time.perf_counter()))
+        return fut
+
+    def predict(self, image: np.ndarray, timeout: Optional[float] = None) -> np.ndarray:
+        """Blocking single-request convenience wrapper."""
+        return self.submit(image).result(timeout=timeout)
+
+    def warmup(self):
+        """Precompile every bucket program (one compile per static shape)."""
+        for b in self.buckets:
+            x = jnp.zeros((b, *self.image_shape), jnp.float32)
+            np.asarray(self._fwd(self.params, self.state, x))
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- dispatcher --------------------------------------------------------
+
+    def _pick_bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _dispatch_loop(self):
+        pending = []
+        while not self._stop.is_set():
+            # Block for the first request, then coalesce.
+            if not pending:
+                try:
+                    pending.append(self._queue.get(timeout=0.05))
+                except queue.Empty:
+                    continue
+            deadline = pending[0][2] + self.max_wait_s
+            while len(pending) < self.buckets[-1]:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    pending.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            take = min(len(pending), self.buckets[-1])
+            batch, pending = pending[:take], pending[take:]
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        n = len(batch)
+        b = self._pick_bucket(n)
+        x = np.zeros((b, *self.image_shape), np.float32)
+        for i, (img, _, _) in enumerate(batch):
+            x[i] = img
+        try:
+            logits = np.asarray(self._fwd(self.params, self.state, jnp.asarray(x)))
+        except Exception as e:  # propagate to every waiter, keep serving
+            for _, fut, _ in batch:
+                fut.set_exception(e)
+            return
+        for i, (_, fut, _) in enumerate(batch):
+            fut.set_result(logits[i])
+        with self._stats_lock:
+            self.stats["requests"] += n
+            self.stats["batches"] += 1
+            self.stats["padded_rows"] += b - n
+
+    # -- introspection ------------------------------------------------------
+
+    def occupancy(self) -> float:
+        """Mean fraction of batch rows that carried real requests."""
+        with self._stats_lock:
+            served = self.stats["requests"]
+            padded = self.stats["padded_rows"]
+        total = served + padded
+        return served / total if total else 1.0

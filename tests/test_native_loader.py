@@ -1,0 +1,85 @@
+"""Native C++ batch assembler: build, parity vs numpy fallback, prefetch."""
+import numpy as np
+import pytest
+
+from quantnet.data import native_loader
+from quantnet.data.native_loader import NativeBatcher
+
+
+@pytest.fixture(scope="module")
+def data(np_rng=None):
+    rng = np.random.default_rng(7)
+    images = rng.integers(0, 256, (64, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 10, (64,), dtype=np.int32)
+    mean = np.array([0.5, 0.4, 0.3], np.float32)
+    std = np.array([0.2, 0.25, 0.3], np.float32)
+    return images, labels, mean, std
+
+
+def _pair(data):
+    images, labels, mean, std = data
+    b = NativeBatcher(images, labels, mean, std)
+    return b
+
+
+def test_native_library_builds(data):
+    lib = native_loader.load_native()
+    assert lib is not None, "C++ dataloader must build (g++ is in the image)"
+    assert lib.qn_version() == 1
+
+
+def test_eval_batch_matches_numpy(data):
+    images, labels, mean, std = data
+    b = _pair(data)
+    idx = np.array([3, 1, 60, 7], np.int64)
+    native_x, native_y = b.prepare(idx, augment=False)
+    expect = (images[idx].astype(np.float32) / 255.0 - mean) / std
+    # C++ multiplies by a precomputed reciprocal; ~1e-5 rel vs true division.
+    np.testing.assert_allclose(native_x, expect, rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(native_y, labels[idx])
+
+
+def test_augment_native_matches_numpy_fallback(data):
+    b = _pair(data)
+    if b.lib is None:
+        pytest.skip("native lib unavailable")
+    idx = np.arange(32, dtype=np.int64)
+    nx, ny = b.prepare(idx, augment=True, pad=3, seed=99)
+    out = np.empty_like(nx)
+    out_labels = np.empty_like(ny)
+    fx, fy = b._prepare_numpy(idx, out, out_labels, True, 3, 99)
+    np.testing.assert_allclose(nx, fx, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(ny, fy)
+
+
+def test_augment_is_deterministic_and_seed_sensitive(data):
+    b = _pair(data)
+    idx = np.arange(16, dtype=np.int64)
+    a1, _ = b.prepare(idx, augment=True, seed=5)
+    a2, _ = b.prepare(idx, augment=True, seed=5)
+    a3, _ = b.prepare(idx, augment=True, seed=6)
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.array_equal(a1, a3)
+
+
+def test_shuffle_deterministic(data):
+    b = _pair(data)
+    i1 = b.shuffled_indices(42)
+    i2 = b.shuffled_indices(42)
+    i3 = b.shuffled_indices(43)
+    np.testing.assert_array_equal(i1, i2)
+    assert not np.array_equal(i1, i3)
+    assert sorted(i1.tolist()) == list(range(len(b)))
+
+
+def test_epoch_prefetch_covers_dataset(data):
+    images, labels, mean, std = data
+    b = _pair(data)
+    seen_labels = []
+    n_batches = 0
+    for x, y in b.epoch(16, shuffle=True, augment=False, seed=1):
+        assert x.shape == (16, 16, 16, 3) and x.dtype == np.float32
+        seen_labels.extend(y.tolist())
+        n_batches += 1
+    assert n_batches == 4
+    assert sorted(seen_labels) == sorted(labels.tolist())

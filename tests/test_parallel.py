@@ -147,3 +147,24 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(n)
+
+
+class TestScaling:
+    def test_measure_scaling_virtual_mesh(self):
+        """Weak-scaling sweep runs on the 8-device CPU mesh and reports
+        monotone-ish throughput with sane efficiency values."""
+        import jax
+
+        from quantnet.bench.scaling import measure_scaling
+        from quantnet.models import convnet
+
+        params, state = convnet.init(jax.random.PRNGKey(0))
+        res = measure_scaling(
+            convnet.apply, params, state,
+            image_size=32, per_device_batch=8, iters=4, windows=2,
+            mesh_sizes=(1, 2, 4),
+        )
+        assert set(res["throughput"]) == {1, 2, 4}
+        assert all(v > 0 for v in res["throughput"].values())
+        assert res["efficiency"][1] == 1.0
+        assert all(v > 0 for v in res["efficiency"].values())

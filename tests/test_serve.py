@@ -1,0 +1,74 @@
+"""Continuous-batching inference engine tests (CPU, small model)."""
+import concurrent.futures
+
+import jax
+import numpy as np
+import pytest
+
+from quantnet.models import convnet
+from quantnet.quantize import weight_only
+from quantnet.serve import InferenceEngine
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    params, state = convnet.init(jax.random.PRNGKey(0))
+    return convnet.apply, params, state
+
+
+def test_single_request_matches_direct_forward(small_model):
+    apply_fn, params, state = small_model
+    img = np.random.default_rng(0).normal(size=(32, 32, 3)).astype(np.float32)
+    direct, _ = apply_fn(params, state, img[None], train=False)
+    with InferenceEngine(
+        apply_fn, params, state, buckets=(1, 4), precompile=False
+    ) as eng:
+        got = eng.predict(img, timeout=60)
+    np.testing.assert_allclose(got, np.asarray(direct)[0], rtol=2e-4, atol=2e-5)
+
+
+def test_concurrent_requests_batched(small_model):
+    apply_fn, params, state = small_model
+    rng = np.random.default_rng(1)
+    imgs = rng.normal(size=(12, 32, 32, 3)).astype(np.float32)
+    direct, _ = apply_fn(params, state, imgs, train=False)
+    with InferenceEngine(
+        apply_fn, params, state, buckets=(1, 4, 16), max_wait_ms=50,
+        precompile=False,
+    ) as eng:
+        futs = [eng.submit(img) for img in imgs]
+        results = [f.result(timeout=120) for f in futs]
+        stats = dict(eng.stats)
+    got = np.stack(results)
+    np.testing.assert_allclose(got, np.asarray(direct), rtol=2e-4, atol=2e-5)
+    assert stats["requests"] == 12
+    # coalescing must have happened: fewer batches than requests
+    assert stats["batches"] < 12
+
+
+def test_quantized_artifact_serves(small_model):
+    apply_fn, params, state = small_model
+    qp, qs = weight_only.quantize(params, state)
+    img = np.zeros((32, 32, 3), np.float32)
+    with InferenceEngine(apply_fn, qp, qs, buckets=(1,), precompile=False) as eng:
+        out = eng.predict(img, timeout=120)
+    assert out.shape == (10,)
+    assert np.isfinite(out).all()
+
+
+def test_rejects_wrong_shape(small_model):
+    apply_fn, params, state = small_model
+    with InferenceEngine(apply_fn, params, state, buckets=(1,), precompile=False) as eng:
+        with pytest.raises(ValueError):
+            eng.submit(np.zeros((8, 8, 3), np.float32))
+
+
+def test_occupancy_accounting(small_model):
+    apply_fn, params, state = small_model
+    with InferenceEngine(
+        apply_fn, params, state, buckets=(4,), max_wait_ms=1, precompile=False
+    ) as eng:
+        eng.predict(np.zeros((32, 32, 3), np.float32), timeout=120)
+        # one request in a 4-bucket -> 3 padded rows
+        assert eng.stats["padded_rows"] == 3
+        assert 0.0 < eng.occupancy() <= 0.25 + 1e-6
