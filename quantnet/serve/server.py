@@ -48,7 +48,29 @@ class InferenceEngine:
         buckets: Sequence[int] = (1, 8, 32, 128),
         max_wait_ms: float = 2.0,
         precompile: bool = True,
+        mesh=None,
     ):
+        """With a mesh (jax.sharding.Mesh with a 'data' axis), batches are
+        sharded data-parallel across it: params/state replicated once at
+        startup, each bucket batch split over devices by the partitioner —
+        BASELINE.json config 5's continuous batching over a pod slice. Buckets
+        are rounded up to multiples of the mesh's data-axis size so shards
+        stay static-shaped."""
+        self.mesh = mesh
+        if mesh is not None:
+            from quantnet.parallel.mesh import (
+                DATA_AXIS,
+                batch_sharding,
+                shard_params,
+            )
+
+            ndata = mesh.shape[DATA_AXIS]
+            buckets = sorted({max(b, ndata) + (-max(b, ndata)) % ndata for b in buckets})
+            params = shard_params(mesh, params)
+            state = shard_params(mesh, state)
+            self._x_sharding = batch_sharding(mesh)
+        else:
+            self._x_sharding = None
         self.params = params
         self.state = state
         self.image_shape = tuple(image_shape)
@@ -87,8 +109,13 @@ class InferenceEngine:
     def warmup(self):
         """Precompile every bucket program (one compile per static shape)."""
         for b in self.buckets:
-            x = jnp.zeros((b, *self.image_shape), jnp.float32)
-            np.asarray(self._fwd(self.params, self.state, x))
+            x = np.zeros((b, *self.image_shape), np.float32)
+            xd = (
+                jax.device_put(x, self._x_sharding)
+                if self._x_sharding is not None
+                else jnp.asarray(x)
+            )
+            np.asarray(self._fwd(self.params, self.state, xd))
 
     def close(self):
         self._stop.set()
@@ -137,7 +164,12 @@ class InferenceEngine:
         for i, (img, _, _) in enumerate(batch):
             x[i] = img
         try:
-            logits = np.asarray(self._fwd(self.params, self.state, jnp.asarray(x)))
+            xd = (
+                jax.device_put(x, self._x_sharding)
+                if self._x_sharding is not None
+                else jnp.asarray(x)
+            )
+            logits = np.asarray(self._fwd(self.params, self.state, xd))
         except Exception as e:  # propagate to every waiter, keep serving
             for _, fut, _ in batch:
                 fut.set_exception(e)

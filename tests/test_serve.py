@@ -72,3 +72,24 @@ def test_occupancy_accounting(small_model):
         # one request in a 4-bucket -> 3 padded rows
         assert eng.stats["padded_rows"] == 3
         assert 0.0 < eng.occupancy() <= 0.25 + 1e-6
+
+
+def test_mesh_sharded_serving(small_model):
+    """Data-parallel continuous batching over the virtual device mesh
+    (BASELINE.json config 5)."""
+    from quantnet.parallel.mesh import make_mesh
+
+    apply_fn, params, state = small_model
+    mesh = make_mesh(data_parallel=4)
+    rng = np.random.default_rng(3)
+    imgs = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    direct, _ = apply_fn(params, state, imgs, train=False)
+    with InferenceEngine(
+        apply_fn, params, state, buckets=(4, 8), max_wait_ms=50,
+        precompile=False, mesh=mesh,
+    ) as eng:
+        # bucket sizes forced to multiples of the data axis (4)
+        assert all(b % 4 == 0 for b in eng.buckets)
+        futs = [eng.submit(img) for img in imgs]
+        results = [f.result(timeout=120) for f in futs]
+    np.testing.assert_allclose(np.stack(results), np.asarray(direct), rtol=2e-4, atol=2e-5)
