@@ -87,13 +87,14 @@ def _artifact_path(save_dir: str, name: str) -> str:
 
 
 def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[dict, dict]]:
-    from quantnet.quantize import dynamic, static, weight_only
+    from quantnet.quantize import bf16, dynamic, static, weight_only
     from quantnet.quantize.policy import quantize_optimized
 
     calib = list(train_data.batches(args.batch_size, drop_remainder=True))[
         : args.calibration_batches
     ]
     out = {}
+    out["bf16"] = bf16.quantize(params, state)
     out["dynamic"] = dynamic.quantize(params, state)
     out["static"] = static.quantize(
         params, state, apply_fn, calib, observer=args.observer
@@ -191,7 +192,7 @@ def _collect_models(args):
         args.model, train_data.num_classes, conv1_scale=args.conv1_scale
     )
     models = {}
-    for name in ["fp32", "dynamic", "static", "weight_only", "optimized"]:
+    for name in ["fp32", "bf16", "dynamic", "static", "weight_only", "optimized"]:
         path = _artifact_path(args.save_dir, name)
         if os.path.exists(path + ".json"):
             tree, _ = ckpt.load_artifact(path)
@@ -339,7 +340,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("quantize")
     common(sp)
     sp.add_argument("--scheme", default="all",
-                    choices=["all", "dynamic", "static", "weight_only", "optimized"])
+                    choices=["all", "bf16", "dynamic", "static", "weight_only", "optimized"])
     sp.add_argument("--observer", default="minmax",
                     choices=["minmax", "moving_average", "histogram"])
     sp.add_argument("--calibration-batches", type=int, default=16)

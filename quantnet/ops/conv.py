@@ -136,7 +136,10 @@ def conv2d(
     out_dtype = jnp.float32
 
     if not isinstance(w, QTensor):
-        y = _conv(x, w.astype(x.dtype), stride, padding, out_dtype)
+        # Narrow-dtype rule (see quantnet/ops/linear.py): bf16 params pull
+        # activations down to bf16; f32 params leave them unchanged.
+        cdtype = w.dtype if w.dtype == jnp.bfloat16 else x.dtype
+        y = _conv(x.astype(cdtype), w.astype(cdtype), stride, padding, out_dtype)
         if b is not None:
             y = y + b
         return _apply_act(y, activation)

@@ -72,7 +72,13 @@ def linear(
     out_dtype = jnp.float32
 
     if not isinstance(w, QTensor):
-        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=out_dtype)
+        # Compute in the narrower dtype: bf16-cast params (quantnet/quantize/
+        # bf16.py) pull f32 activations down to bf16 and hit the MXU's fast
+        # path; f32 params keep f32 activations unchanged.
+        cdtype = w.dtype if w.dtype == jnp.bfloat16 else x.dtype
+        y = jnp.dot(
+            x.astype(cdtype), w.astype(cdtype), preferred_element_type=out_dtype
+        )
         if b is not None:
             y = y + b
         return _apply_act(y, activation)
@@ -92,6 +98,18 @@ def linear(
         return _apply_act(y, activation)
 
     if isinstance(aq, DynamicActQuant):
+        if cfg.resolve_matmul_backend() == "pallas":
+            # Fully-fused Pallas path: absmax + quantize + int8 GEMM +
+            # dequant epilogue in one kernel, f32 x read from HBM once.
+            from quantnet.ops.pallas_matmul import dynamic_int8_matmul_fused
+
+            y = dynamic_int8_matmul_fused(
+                x,
+                w.values,
+                w_scale,
+                b if b is not None else jnp.zeros((), out_dtype),
+            )
+            return _apply_act(y, activation)
         # Per-batch symmetric activation quant (per-row for accuracy: axis=0).
         qx, x_scale = dynamic_quantize(x, axis=0)
         acc = _int8_matmul(qx, w.values)

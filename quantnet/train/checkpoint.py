@@ -74,8 +74,15 @@ def _flatten(tree: Any, prefix: str, arrays: dict, manifest: dict) -> None:
     elif isinstance(tree, DynamicActQuant):
         manifest[prefix] = {"kind": "dynamic_marker"}
     else:
-        manifest[prefix] = {"kind": "array"}
-        arrays[prefix] = np.asarray(tree)
+        arr = np.asarray(tree)
+        if arr.dtype == jnp.bfloat16:
+            # npz has no bfloat16: store as f32 (lossless upcast), downcast on
+            # load per the recorded dtype.
+            manifest[prefix] = {"kind": "array", "dtype": "bfloat16"}
+            arrays[prefix] = arr.astype(np.float32)
+        else:
+            manifest[prefix] = {"kind": "array"}
+            arrays[prefix] = arr
 
 
 def _unflatten(prefix: str, arrays, manifest: dict) -> Any:
@@ -102,7 +109,10 @@ def _unflatten(prefix: str, arrays, manifest: dict) -> Any:
     if kind == "dynamic_marker":
         return DynamicActQuant()
     if kind == "array":
-        return jnp.asarray(arrays[prefix])
+        a = jnp.asarray(arrays[prefix])
+        if node.get("dtype") == "bfloat16":
+            a = a.astype(jnp.bfloat16)
+        return a
     raise ValueError(f"unknown leaf kind {kind!r}")
 
 
