@@ -133,7 +133,8 @@ def cmd_train(args):
     )
     trainer = Trainer(apply_fn, params, state, cfg, train_data, test_data)
     params, state = trainer.train(
-        save_path=os.path.join(args.save_dir, "best") if args.save_dir else None
+        save_path=os.path.join(args.save_dir, "best") if args.save_dir else None,
+        resume=getattr(args, "resume", False),
     )
     from quantnet.train import checkpoint as ckpt
 
@@ -243,6 +244,46 @@ def cmd_bench(args):
     return results
 
 
+def cmd_serve(args):
+    """Continuous-batching serving demo/load-test over a saved artifact."""
+    import time as _time
+
+    import numpy as np
+
+    from quantnet.serve import InferenceEngine
+
+    models, test_data, _ = _collect_models(args)
+    if not models:
+        raise SystemExit("no artifacts to serve; run train/quantize first")
+    name = args.scheme if args.scheme in models else sorted(models)[0]
+    apply_fn, params, state = models[name]
+    mesh = None
+    if args.data_parallel != 1:
+        from quantnet.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data_parallel=args.data_parallel)
+    shape = (test_data.image_size, test_data.image_size, test_data.channels)
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    rng = np.random.default_rng(args.seed)
+    images = rng.normal(size=(args.requests, *shape)).astype(np.float32)
+    with InferenceEngine(
+        apply_fn, params, state, image_shape=shape, buckets=buckets,
+        max_wait_ms=args.max_wait_ms, mesh=mesh,
+    ) as eng:
+        t0 = _time.perf_counter()
+        futs = [eng.submit(img) for img in images]
+        for f in futs:
+            f.result()
+        dt = _time.perf_counter() - t0
+        stats = dict(eng.stats)
+        occ = eng.occupancy()
+    print(
+        f"served {args.requests} requests with '{name}' in {dt:.3f}s "
+        f"({args.requests / dt:.1f} req/s), {int(stats['batches'])} batches, "
+        f"occupancy {occ:.1%}"
+    )
+
+
 def cmd_scaling(args):
     """Data-parallel scaling-efficiency sweep over the available devices."""
     from quantnet.bench.scaling import measure_scaling
@@ -335,6 +376,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--lr", type=float, default=0.1)
     sp.add_argument("--optimizer", default="sgd_cosine",
                     choices=["sgd_cosine", "adam_plateau"])
+    sp.add_argument("--resume", action="store_true",
+                    help="continue from the best checkpoint in --save-dir")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("quantize")
@@ -368,6 +411,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--per-device-batch", type=int, default=256)
     sp.add_argument("--iters", type=int, default=20)
     sp.set_defaults(fn=cmd_scaling)
+
+    sp = sub.add_parser("serve")
+    common(sp)
+    sp.add_argument("--scheme", default="static",
+                    help="artifact to serve (falls back to any available)")
+    sp.add_argument("--requests", type=int, default=256)
+    sp.add_argument("--buckets", default="1,8,32,128")
+    sp.add_argument("--max-wait-ms", type=float, default=2.0)
+    sp.add_argument("--data-parallel", type=int, default=1,
+                    help="shard batches over this many devices (-1 = all)")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("experiment")
     common(sp)

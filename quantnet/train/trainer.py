@@ -169,10 +169,41 @@ class Trainer:
             total_n += len(labels)
         return total_loss / max(total_n, 1), total_top1 / max(total_n, 1)
 
-    def train(self, save_path: Optional[str] = None) -> Tuple[dict, dict]:
+    def resume(self, path: str) -> int:
+        """Restore {params, state, opt_state, epoch, best_accuracy} from an
+        orbax checkpoint (the reference's --skip_training resume semantics,
+        run_experiment.py:24,56, extended to mid-training restarts — the
+        failure-recovery story of SURVEY.md section 5). Returns the epoch to
+        continue from."""
+        from quantnet.train import checkpoint as ckpt
+
+        params, state, opt_state = self.carry
+        target = {
+            "params": params,
+            "state": state,
+            "opt_state": opt_state,
+            "epoch": 0,
+            "best_accuracy": 0.0,
+        }
+        restored = ckpt.restore(path, target=target)
+        self.carry = (restored["params"], restored["state"], restored["opt_state"])
+        self.best_accuracy = float(restored["best_accuracy"])
+        self.best = (
+            jax.tree_util.tree_map(jnp.copy, restored["params"]),
+            jax.tree_util.tree_map(jnp.copy, restored["state"]),
+        )
+        return int(restored["epoch"]) + 1
+
+    def train(
+        self, save_path: Optional[str] = None, *, resume: bool = False
+    ) -> Tuple[dict, dict]:
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
-        for epoch in range(cfg.epochs):
+        start_epoch = 0
+        if resume and save_path and os.path.exists(save_path):
+            start_epoch = self.resume(save_path)
+            self.log(f"resumed from {save_path} at epoch {start_epoch}")
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             ep_loss, ep_acc, n_steps = 0.0, 0.0, 0
             for images, labels in self.train_data.batches(

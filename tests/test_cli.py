@@ -1,0 +1,85 @@
+"""CLI integration: the end-to-end pipeline the reference promised but broke
+(run_experiment.py imported a nonexistent module — SURVEY.md known gaps).
+
+One mini experiment on synthetic data drives train -> quantize (all schemes)
+-> evaluate -> bench -> report, then the serving demo, all through main(argv).
+"""
+import json
+import os
+
+import pytest
+
+from quantnet.cli.main import main
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    save = str(d / "saved_models")
+    results = str(d / "results")
+    common = [
+        "--save-dir", save, "--results-dir", results,
+        "--synthetic-train-size", "64", "--synthetic-test-size", "64",
+        "--batch-size", "32",
+    ]
+    main([
+        "experiment", *common,
+        "--epochs", "1", "--calibration-batches", "2",
+        "--eval-batch-size", "32", "--batch-sizes", "1,8",
+        "--iters", "2", "--warmup", "1", "--report-batch-size", "8",
+    ])
+    return save, results, common
+
+
+def test_experiment_writes_all_artifacts(workdir):
+    save, results, _ = workdir
+    for scheme in ("fp32", "bf16", "dynamic", "static", "weight_only", "optimized"):
+        assert os.path.exists(os.path.join(save, f"{scheme}.json")), scheme
+        assert os.path.exists(os.path.join(save, f"{scheme}.npz")), scheme
+    for artifact in (
+        "accuracy.json", "benchmark.json", "quantization_comparison.csv",
+        "quantization_comparison.json", "detailed_analysis_report.md",
+    ):
+        assert os.path.exists(os.path.join(results, artifact)), artifact
+
+
+def test_accuracy_json_contract(workdir):
+    _, results, _ = workdir
+    with open(os.path.join(results, "accuracy.json")) as f:
+        acc = json.load(f)
+    assert set(acc) >= {"fp32", "static", "dynamic", "weight_only", "optimized"}
+    for row in acc.values():
+        assert 0.0 <= row["top1"] <= 1.0
+        assert row["top5"] >= row["top1"]
+        assert "per_class" in row
+
+
+def test_report_mentions_every_model(workdir):
+    _, results, _ = workdir
+    with open(os.path.join(results, "detailed_analysis_report.md")) as f:
+        report = f.read()
+    for name in ("fp32", "bf16", "dynamic", "static", "weight_only", "optimized"):
+        assert f"| {name} |" in report
+
+
+def test_serve_command(workdir, capsys):
+    _, _, common = workdir
+    main([
+        "serve", *common, "--scheme", "static", "--requests", "16",
+        "--buckets", "1,8", "--max-wait-ms", "5",
+    ])
+    out = capsys.readouterr().out
+    assert "served 16 requests" in out
+
+
+def test_skip_training_reuses_checkpoint(workdir, capsys):
+    save, results, common = workdir
+    # second run with --skip-training must not retrain (fast path)
+    main([
+        "experiment", *common,
+        "--epochs", "1", "--skip-training", "--calibration-batches", "2",
+        "--eval-batch-size", "32", "--batch-sizes", "8",
+        "--iters", "2", "--warmup", "1", "--report-batch-size", "8",
+    ])
+    out = capsys.readouterr().out
+    assert "epoch 0" not in out  # no training log lines

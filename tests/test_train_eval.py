@@ -157,3 +157,35 @@ class TestCheckpoint:
         ckpt.save(path, {"params": params, "epoch": 3})
         restored = ckpt.restore(path)
         assert int(np.asarray(restored["epoch"])) == 3
+
+
+class TestResume:
+    def test_resume_restores_progress(self, tiny_data, model, tmp_path):
+        """Kill-and-restart: a fresh Trainer resumed from the checkpoint
+        continues from the saved epoch with the saved best accuracy."""
+        import jax
+
+        from quantnet.core.config import TrainConfig
+        from quantnet.models import convnet
+        from quantnet.train.trainer import Trainer
+
+        train, test = tiny_data
+        apply_fn = convnet.apply
+        params, state = convnet.init(jax.random.PRNGKey(0))
+        cfg = TrainConfig(epochs=2, batch_size=32, lr=0.05, save_dir=str(tmp_path))
+        ckpt_path = str(tmp_path / "best")
+        t1 = Trainer(apply_fn, params, state, cfg, train, test, log=None)
+        t1.train(save_path=ckpt_path)
+        acc1 = t1.best_accuracy
+        assert acc1 > 0
+
+        # new process simulation: fresh trainer, more epochs, resume
+        cfg2 = TrainConfig(epochs=3, batch_size=32, lr=0.05, save_dir=str(tmp_path))
+        t2 = Trainer(apply_fn, params, state, cfg2, train, test, log=None)
+        start = t2.resume(ckpt_path)
+        # checkpoint is best-epoch (reference contract), so resume continues
+        # after whichever epoch was best
+        assert 1 <= start <= 2
+        assert t2.best_accuracy == acc1
+        t2.train(save_path=ckpt_path, resume=True)
+        assert t2.best_accuracy >= acc1
