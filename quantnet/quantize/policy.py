@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from functools import partial
 
 from quantnet.core.types import DynamicActQuant
-from quantnet.quantize import weight_only
 from quantnet.quantize.common import layer_paths, quantize_weight, walk_layers
 from quantnet.quantize.fold import fold_model_jit
 
@@ -93,16 +92,18 @@ def build_policy(
     importance: Dict[str, float],
     *,
     keep_fp32_fraction: float = 0.25,
-    low_precision_scheme: str = "dynamic",
+    high_precision_scheme: str = "bf16",
+    low_precision_scheme: str = "weight_only",
 ) -> Dict[str, str]:
     """Turn an importance/damage map into a {path: scheme} table: the top
-    `keep_fp32_fraction` most important layers stay FP32 (or weight-only),
-    the rest get `low_precision_scheme`."""
+    `keep_fp32_fraction` most important layers get `high_precision_scheme`
+    (bf16 by default — higher precision than int8 AND faster than fp32 on the
+    MXU, docs/PERF.md), the rest `low_precision_scheme`."""
     ranked = sorted(importance.items(), key=lambda kv: -kv[1])
     n_keep = max(1, int(round(len(ranked) * keep_fp32_fraction)))
     policy = {}
     for i, (path, _) in enumerate(ranked):
-        policy[path] = "fp32" if i < n_keep else low_precision_scheme
+        policy[path] = high_precision_scheme if i < n_keep else low_precision_scheme
     return policy
 
 
@@ -129,11 +130,30 @@ def quantize_optimized(
     else:
         imp = static_importance_map(paths)
     policy = build_policy(imp, keep_fp32_fraction=keep_fp32_fraction)
-    qparams, qstate = weight_only.quantize(
-        params,
-        state,
-        per_channel=per_channel,
-        skip_last_layer=False,
-        layer_policy={p: ("fp32" if s == "fp32" else "weight_only") for p, s in policy.items()},
-    )
+    qparams, qstate = _apply_policy(fparams, fstate, tuple(sorted(policy.items())), per_channel)
     return qparams, qstate, policy
+
+
+@partial(jax.jit, static_argnames=("policy_items", "per_channel"))
+def _apply_policy(fparams, fstate, policy_items, per_channel):
+    """Mixed-precision bake: per-layer action from the policy table —
+    'fp32' keep, 'bf16' cast weights (ops' narrow-dtype rule pulls the
+    layer's activations down), anything else per-channel INT8 weight-only."""
+    import jax.numpy as jnp
+
+    policy = dict(policy_items)
+
+    def q(path: str, layer: dict) -> dict:
+        action = policy.get(path, "weight_only")
+        out = dict(layer)
+        if action == "fp32":
+            return out
+        if action == "bf16":
+            out["w"] = layer["w"].astype(jnp.bfloat16)
+            if out.get("b") is not None:
+                out["b"] = out["b"].astype(jnp.bfloat16)
+            return out
+        out["w"] = quantize_weight(layer["w"], per_channel)
+        return out
+
+    return walk_layers(fparams, q), fstate

@@ -205,7 +205,11 @@ class Trainer:
             self.log(f"resumed from {save_path} at epoch {start_epoch}")
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
-            ep_loss, ep_acc, n_steps = 0.0, 0.0, 0
+            # Loss/acc stay on device until epoch end: a float() per step would
+            # force a host sync and serialize the dispatch pipeline (the whole
+            # point of async dispatch is step i+1's host work overlapping step
+            # i's device work).
+            losses, accs = [], []
             for images, labels in self.train_data.batches(
                 cfg.batch_size, shuffle=True, seed=cfg.seed + epoch, drop_remainder=True
             ):
@@ -213,9 +217,11 @@ class Trainer:
                 self.carry, loss, acc = self.train_step(
                     self.carry, step_rng, images, labels
                 )
-                ep_loss += float(loss)
-                ep_acc += float(acc)
-                n_steps += 1
+                losses.append(loss)
+                accs.append(acc)
+            n_steps = len(losses)
+            ep_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+            ep_acc = float(jnp.sum(jnp.stack(accs))) if accs else 0.0
             test_loss, test_acc = self.evaluate()
             self._plateau_update(test_loss)
             dt = time.time() - t0
