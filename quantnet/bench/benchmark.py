@@ -174,8 +174,27 @@ class InferenceBenchmark:
             }
             for bs in batch_sizes:
                 entry[f"bs{bs}"] = self.measure(apply_fn, params, state, bs)
+            mem = device_memory_stats()
+            if mem:
+                entry["device_memory"] = mem
             results[name] = entry
         return results
+
+
+def device_memory_stats() -> Dict[str, float]:
+    """Live HBM usage of device 0, when the backend reports it (the
+    reference's memory metric was torch.cuda.max_memory_allocated,
+    utils/result_analyzer.py:146 — crashed on non-CUDA hosts; this one
+    degrades to {} instead)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+    out = {}
+    for key in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+        if key in stats:
+            out[key.replace("bytes", "mb")] = stats[key] / (1024 * 1024)
+    return out
 
 
 def scaling_efficiency(

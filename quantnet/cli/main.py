@@ -215,6 +215,12 @@ def cmd_evaluate(args):
         json.dump(results, f, indent=2, default=str)
     for name, r in results.items():
         print(f"{name}: top1={r['top1']:.4f} top5={r['top5']:.4f} (n={r['n']})")
+        if getattr(args, "per_class", False) and r.get("per_class"):
+            # reference evaluate_class_accuracy printed per-class accuracy
+            # sorted descending, top 20 (utils/model_evaluator.py:57-121)
+            ranked = sorted(r["per_class"].items(), key=lambda kv: -kv[1])
+            for cls, acc in ranked[:20]:
+                print(f"    {cls}: {acc:.4f}")
     return results
 
 
@@ -392,6 +398,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("evaluate")
     common(sp)
     sp.add_argument("--eval-batch-size", type=int, default=512)
+    sp.add_argument("--per-class", action="store_true",
+                    help="print per-class accuracy (top 20, sorted desc)")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("bench")

@@ -132,6 +132,8 @@ class Trainer:
         self.cfg = cfg
         self.train_data = train_data
         self.test_data = test_data
+        if log is print and jax.process_index() != 0:
+            log = None  # host-0-only logging on multi-host runs
         self.log = log or (lambda s: None)
         steps_per_epoch = max(len(train_data) // cfg.batch_size, 1)
         self.tx, self.plateau = make_optimizer(cfg, steps_per_epoch)
