@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from quantnet.core.types import ActQuant
 from quantnet.ops.conv import conv2d
 from quantnet.ops.layers import batchnorm_apply, batchnorm_init, dropout, maxpool2d
 from quantnet.ops.linear import linear
@@ -75,7 +76,27 @@ def init(
     return params, state
 
 
-def _conv_bn_relu(params, state, new_state, name, x, train, capture=None):
+def _chain_plan(params) -> dict:
+    """Static-path int8 tensor handoff plan: layer -> successor's ActQuant.
+
+    Every edge in this model's layer order is chainable (the ops between
+    consecutive quantized layers — relu, maxpool, inference dropout, reshape —
+    are monotone or identity, so requantizing at the producer is exactly
+    equivalent to quantizing at the consumer; see quantnet/ops/conv.py)."""
+    plan = {}
+    for i, name in enumerate(QUANT_LAYERS[:-1]):
+        cur, nxt = params.get(name), params.get(QUANT_LAYERS[i + 1])
+        if (
+            cur is not None
+            and nxt is not None
+            and isinstance(cur.get("aq"), ActQuant)
+            and isinstance(nxt.get("aq"), ActQuant)
+        ):
+            plan[name] = nxt["aq"]
+    return plan
+
+
+def _conv_bn_relu(params, state, new_state, name, x, train, capture=None, out_quant=None):
     layer = params[name]
     if "bn" in layer:
         x = conv2d(layer, x, stride=1, padding="SAME")
@@ -87,7 +108,8 @@ def _conv_bn_relu(params, state, new_state, name, x, train, capture=None):
         # BN-folded (quantized) variant: activation fused into the op epilogue.
         if capture is not None:
             capture[name] = x
-        x = conv2d(layer, x, stride=1, padding="SAME", activation="relu")
+        x = conv2d(layer, x, stride=1, padding="SAME", activation="relu",
+                   out_quant=out_quant)
     return x
 
 
@@ -108,19 +130,20 @@ def apply(
     """
     new_state = dict(state) if train else state
     rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+    chain = _chain_plan(params)
 
-    x = _conv_bn_relu(params, state, new_state, "conv1", x, train, capture)
-    x = _conv_bn_relu(params, state, new_state, "conv2", x, train, capture)
+    x = _conv_bn_relu(params, state, new_state, "conv1", x, train, capture, chain.get("conv1"))
+    x = _conv_bn_relu(params, state, new_state, "conv2", x, train, capture, chain.get("conv2"))
     x = maxpool2d(x)
     x = dropout(x, 0.25, rngs[0], train)
 
-    x = _conv_bn_relu(params, state, new_state, "conv3", x, train, capture)
-    x = _conv_bn_relu(params, state, new_state, "conv4", x, train, capture)
+    x = _conv_bn_relu(params, state, new_state, "conv3", x, train, capture, chain.get("conv3"))
+    x = _conv_bn_relu(params, state, new_state, "conv4", x, train, capture, chain.get("conv4"))
     x = maxpool2d(x)
     x = dropout(x, 0.25, rngs[1], train)
 
-    x = _conv_bn_relu(params, state, new_state, "conv5", x, train, capture)
-    x = _conv_bn_relu(params, state, new_state, "conv6", x, train, capture)
+    x = _conv_bn_relu(params, state, new_state, "conv5", x, train, capture, chain.get("conv5"))
+    x = _conv_bn_relu(params, state, new_state, "conv6", x, train, capture, chain.get("conv6"))
     x = maxpool2d(x)
     x = dropout(x, 0.25, rngs[2], train)
 
@@ -136,7 +159,7 @@ def apply(
     else:
         if capture is not None:
             capture["fc1"] = x
-        x = linear(fc1, x, activation="relu")
+        x = linear(fc1, x, activation="relu", out_quant=chain.get("fc1"))
     x = dropout(x, 0.5, rngs[3], train)
 
     if capture is not None:

@@ -86,7 +86,8 @@ def init(rng: jax.Array, num_classes: int = 1000) -> Tuple[dict, dict]:
     return params, state
 
 
-def _conv_bn(params, state, new_state, x, *, stride, padding, train, relu, capture, path):
+def _conv_bn(params, state, new_state, x, *, stride, padding, train, relu, capture, path,
+             out_quant=None):
     layer = params
     if "bn" in layer:
         y = conv2d(layer, x, stride=stride, padding=padding)
@@ -97,15 +98,33 @@ def _conv_bn(params, state, new_state, x, *, stride, padding, train, relu, captu
     if capture is not None:
         capture[path] = x
     return conv2d(
-        layer, x, stride=stride, padding=padding, activation="relu" if relu else None
+        layer, x, stride=stride, padding=padding,
+        activation="relu" if relu else None, out_quant=out_quant,
     )
 
 
+def _chain_aq(producer: dict, consumer: dict):
+    """Consumer's ActQuant when the static int8 tensor handoff applies
+    (both layers statically quantized; ops between them monotone)."""
+    from quantnet.core.types import ActQuant
+
+    if isinstance(producer.get("aq"), ActQuant) and isinstance(
+        consumer.get("aq"), ActQuant
+    ):
+        return consumer["aq"]
+    return None
+
+
 def _maxpool_3x3_s2(x):
-    # torch MaxPool2d(3, stride=2, padding=1) semantics
-    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+    # torch MaxPool2d(3, stride=2, padding=1) semantics; dtype-aware identity
+    # element so the int8 handoff path pools in the int8 domain
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        lo = -jnp.inf  # literal: keeps reduce_window differentiable
+    else:
+        lo = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)  # int8 handoff path
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=lo)
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+        x, lo, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
     )
 
 
@@ -126,9 +145,11 @@ def apply(
     if conv1_scale != 1.0:
         x = x * conv1_scale
     ns1 = new_state.get("conv1", {}) if train else {}
+    # stem -> maxpool -> layer1/0/conv1 is a monotone chain: int8 handoff ok
     x = _conv_bn(
         params["conv1"], state.get("conv1", {}), ns1, x,
         stride=2, padding="SAME", train=train, relu=True, capture=capture, path="conv1",
+        out_quant=_chain_aq(params["conv1"], params["layer1"]["0"]["conv1"]),
     )
     if train:
         new_state["conv1"] = ns1
@@ -145,15 +166,19 @@ def apply(
             prefix = f"{stage}/{b}"
 
             identity = x
+            # intra-bottleneck int8 handoff (conv3's output feeds the f32
+            # residual add, so it stays f32)
             out = _conv_bn(
                 bp["conv1"], bs.get("conv1", {}), nbs.setdefault("conv1", {}) if train else {},
                 x, stride=1, padding="VALID", train=train, relu=True,
                 capture=capture, path=f"{prefix}/conv1",
+                out_quant=_chain_aq(bp["conv1"], bp["conv2"]),
             )
             out = _conv_bn(
                 bp["conv2"], bs.get("conv2", {}), nbs.setdefault("conv2", {}) if train else {},
                 out, stride=stride, padding="SAME", train=train, relu=True,
                 capture=capture, path=f"{prefix}/conv2",
+                out_quant=_chain_aq(bp["conv2"], bp["conv3"]),
             )
             out = _conv_bn(
                 bp["conv3"], bs.get("conv3", {}), nbs.setdefault("conv3", {}) if train else {},

@@ -125,11 +125,20 @@ def conv2d(
     stride: int = 1,
     padding: str = "SAME",
     activation: Optional[str] = None,
+    out_quant: Optional[ActQuant] = None,
 ) -> jax.Array:
     """Apply a conv layer given its param dict {'w', optional 'b', 'aq', 'wsum'}.
 
     w layout HWIO; per-channel quantization axis is 3 (output channels), scale
     broadcast shape (1, 1, 1, O).
+
+    INT8 tensor handoff (static path): with `out_quant` (the *consumer's*
+    frozen ActQuant), the epilogue requantizes the activated output and
+    returns int8 — the inter-layer tensor is written to HBM at 1 byte/elem
+    instead of 4, and the consumer (receiving int8 input) skips its input
+    quantization. Exactly the same numbers as quantizing at the consumer:
+    the f32 epilogue value is identical, and monotone ops in between
+    (relu/maxpool) commute with the monotone quantizer.
     """
     w = layer["w"]
     b = layer.get("b")
@@ -178,7 +187,8 @@ def conv2d(
         return _apply_act(y, activation)
 
     if isinstance(aq, ActQuant):
-        qx = quantize_affine(x, aq.scale, aq.zero_point)
+        # int8 input = already in this layer's aq domain (producer chained)
+        qx = x if x.dtype == jnp.int8 else quantize_affine(x, aq.scale, aq.zero_point)
         pad_value = aq.zero_point.astype(jnp.int8)
         acc = _int8_conv(qx, w.values, stride, pads, pad_value)
         wsum = layer["wsum"]  # int32[O] = sum_{kh,kw,ci} qw
@@ -186,6 +196,9 @@ def conv2d(
         y = acc.astype(out_dtype) * (aq.scale * w_scale)
         if b is not None:
             y = y + b
-        return _apply_act(y, activation)
+        y = _apply_act(y, activation)
+        if out_quant is not None:
+            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
+        return y
 
     raise TypeError(f"unsupported activation-quant leaf {type(aq)}")

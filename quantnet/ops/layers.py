@@ -75,13 +75,12 @@ def fold_batchnorm_into_conv(
 
 
 def maxpool2d(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        lo = -jnp.inf  # literal: keeps reduce_window differentiable
+    else:
+        lo = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)  # int8 handoff path
     return jax.lax.reduce_window(
-        x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        jax.lax.max,
-        (1, window, window, 1),
-        (1, stride, stride, 1),
-        "VALID",
+        x, lo, jax.lax.max, (1, window, window, 1), (1, stride, stride, 1), "VALID"
     )
 
 

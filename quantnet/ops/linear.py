@@ -65,8 +65,13 @@ def linear(
     x: jax.Array,
     *,
     activation: Optional[str] = None,
+    out_quant: Optional[ActQuant] = None,
 ) -> jax.Array:
-    """Apply a dense layer given its param dict {'w', optional 'b', 'aq', 'wsum'}."""
+    """Apply a dense layer given its param dict {'w', optional 'b', 'aq', 'wsum'}.
+
+    `out_quant` enables the static path's int8 tensor handoff — see
+    quantnet/ops/conv.py::conv2d.
+    """
     w = layer["w"]
     b = layer.get("b")
     out_dtype = jnp.float32
@@ -121,13 +126,16 @@ def linear(
     if isinstance(aq, ActQuant):
         # Static: frozen asymmetric input quant. (qx - zp) @ qw expands to
         # qx @ qw - zp * colsum(qw); colsum precomputed at quantize time.
-        qx = quantize_affine(x, aq.scale, aq.zero_point)
+        qx = x if x.dtype == jnp.int8 else quantize_affine(x, aq.scale, aq.zero_point)
         acc = _int8_matmul(qx, w.values)
         wsum = layer["wsum"]  # int32[N] = sum_k qw[k, n]
         acc = acc - aq.zero_point * wsum
         y = acc.astype(out_dtype) * (aq.scale * w_scale)
         if b is not None:
             y = y + b
-        return _apply_act(y, activation)
+        y = _apply_act(y, activation)
+        if out_quant is not None:
+            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
+        return y
 
     raise TypeError(f"unsupported activation-quant leaf {type(aq)}")

@@ -31,7 +31,7 @@ def main():
     tree, meta = ckpt.load_artifact(f"{save_dir}/static")
     log(f"loaded static artifact ({meta})")
     bench = InferenceBenchmark(image_size=224, warmup=4, iters=20)
-    for bs in (128, 256, 512, 1024):
+    for bs in (128, 256):
         stats = bench.measure(resnet.apply, tree["params"], tree["state"], bs)
         log(
             f"static int8 bs={bs}: {stats['mean_ms']:.2f} ms "

@@ -162,3 +162,56 @@ class TestSchemes:
         a = f(qp, qs, batch)
         b = convnet.apply(qp, qs, batch)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+class TestOptimizedPolicy:
+    def test_mixed_tiers_applied(self, model, batch):
+        """quantize_optimized assigns bf16 to the most important layers and
+        int8 weight-only to the rest; forward stays close to fp32."""
+        import jax.numpy as jnp
+
+        from quantnet.core.types import QTensor
+        from quantnet.models import convnet
+        from quantnet.quantize.common import layer_paths
+        from quantnet.quantize.policy import quantize_optimized
+
+        params, state = model
+        qp, qs, policy = quantize_optimized(
+            params, state, convnet.apply, [batch], importance="static_map"
+        )
+        assert set(policy.values()) == {"bf16", "weight_only"}
+        # check tier realization on the baked tree
+        def get(tree, path):
+            node = tree
+            for part in path.split("/"):
+                node = node[part]
+            return node
+        for path, action in policy.items():
+            w = get(qp, path)["w"]
+            if action == "bf16":
+                assert w.dtype == jnp.bfloat16, path
+            else:
+                assert isinstance(w, QTensor), path
+        ref, _ = convnet.apply(params, state, batch, train=False)
+        got, _ = convnet.apply(qp, qs, batch, train=False)
+        import numpy as np
+
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=0.3, rtol=0.1
+        )
+
+    def test_sensitivity_ranks_plausibly(self, model, batch):
+        from quantnet.quantize.policy import measure_sensitivity
+
+        params, state = model
+        damage = measure_sensitivity(
+            convnet_apply_of(), params, state, [batch]
+        )
+        assert all(v >= 0 for v in damage.values())
+        assert len(damage) == 8  # 6 convs + 2 fc
+
+
+def convnet_apply_of():
+    from quantnet.models import convnet
+
+    return convnet.apply

@@ -220,3 +220,69 @@ class TestConvPaths:
             np.asarray(results["xla"]), np.asarray(results["emulate"]),
             rtol=1e-4, atol=1e-4,
         )
+
+
+class TestInt8Handoff:
+    """Static-path int8 tensor handoff: producer-side requantization must be
+    exactly the consumer-side quantization of the same f32 output."""
+
+    def test_conv_out_quant_exact(self, rng):
+        import jax
+
+        from quantnet.core.quantize import quantize_affine, quantize_symmetric
+        from quantnet.core.types import ActQuant
+        from quantnet.ops.conv import conv2d
+
+        k1, k2 = jax.random.split(rng)
+        x = jax.random.normal(k1, (2, 8, 8, 8))
+        w = jax.random.normal(k2, (3, 3, 8, 16)) * 0.1
+        aq = ActQuant(scale=jnp.float32(0.05), zero_point=jnp.int32(3))
+        oq = ActQuant(scale=jnp.float32(0.02), zero_point=jnp.int32(-5))
+        qw = quantize_symmetric(w, axis=3)
+        from quantnet.quantize.common import weight_colsum
+
+        layer = {"w": qw, "b": jnp.zeros((16,)), "aq": aq, "wsum": weight_colsum(qw)}
+        f32_out = conv2d(layer, x, activation="relu")
+        chained = conv2d(layer, x, activation="relu", out_quant=oq)
+        assert chained.dtype == jnp.int8
+        expect = quantize_affine(f32_out, oq.scale, oq.zero_point)
+        np.testing.assert_array_equal(np.asarray(chained), np.asarray(expect))
+
+    def test_conv_accepts_prequantized_input(self, rng):
+        import jax
+
+        from quantnet.core.quantize import quantize_affine, quantize_symmetric
+        from quantnet.core.types import ActQuant
+        from quantnet.ops.conv import conv2d
+        from quantnet.quantize.common import weight_colsum
+
+        k1, k2 = jax.random.split(rng)
+        x = jax.random.normal(k1, (2, 8, 8, 8))
+        w = jax.random.normal(k2, (3, 3, 8, 16)) * 0.1
+        aq = ActQuant(scale=jnp.float32(0.05), zero_point=jnp.int32(3))
+        qw = quantize_symmetric(w, axis=3)
+        layer = {"w": qw, "b": jnp.zeros((16,)), "aq": aq, "wsum": weight_colsum(qw)}
+        from_f32 = conv2d(layer, x)
+        from_int8 = conv2d(layer, quantize_affine(x, aq.scale, aq.zero_point))
+        np.testing.assert_allclose(
+            np.asarray(from_f32), np.asarray(from_int8), rtol=1e-6, atol=1e-6
+        )
+
+    def test_static_convnet_uses_handoff_and_matches(self, rng):
+        """Model-level: the chained static forward stays within quantization
+        noise of fp32, and the chain plan covers every edge."""
+        import jax
+
+        from quantnet.models import convnet
+        from quantnet.models.convnet import QUANT_LAYERS, _chain_plan
+        from quantnet.quantize import static
+
+        params, state = convnet.init(rng)
+        x = jax.random.normal(jax.random.PRNGKey(5), (8, 32, 32, 3))
+        qp, qs = static.quantize(params, state, convnet.apply, [(x, None)])
+        plan = _chain_plan(qp)
+        assert set(plan) == set(QUANT_LAYERS[:-1])
+        ref, _ = convnet.apply(params, state, x, train=False)
+        got, _ = convnet.apply(qp, qs, x, train=False)
+        err = float(jnp.sqrt(jnp.mean((got - ref) ** 2)))
+        assert err < 0.5, err
