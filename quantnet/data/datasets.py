@@ -73,6 +73,11 @@ class Dataset:
             self._nb = NativeBatcher(self.raw_u8, self.labels, self.mean, self.std)
         return self._nb
 
+    def sample_batch(self, batch_size: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+        """First `batch_size` examples (reference DatasetManager.get_sample_batch,
+        utils/dataset_manager.py:46-60)."""
+        return next(self.batches(batch_size))
+
     def batches(
         self,
         batch_size: int,

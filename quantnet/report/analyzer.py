@@ -45,6 +45,33 @@ class ResultAnalyzer:
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
 
+    def analyze_and_plot(
+        self,
+        results: Dict[str, Dict[str, float]],
+        filename: str = "analysis.png",
+    ) -> Dict[str, Dict[str, float]]:
+        """1x3 summary grid (accuracy / size / inference time) — contract of
+        the reference's ResultAnalyzer.analyze_and_plot
+        (utils/result_analyzer.py:19-61). `results`: {model: {'accuracy',
+        'model_size_mb', 'inference_time_ms'}}."""
+        plt = _maybe_pyplot()
+        if plt is not None and results:
+            names = list(results)
+            fig, axes = plt.subplots(1, 3, figsize=(15, 4.5))
+            panels = [
+                ("accuracy", "Accuracy (%)"),
+                ("model_size_mb", "Model size (MB)"),
+                ("inference_time_ms", "Inference time (ms)"),
+            ]
+            for ax, (key, title) in zip(axes, panels):
+                ax.bar(names, [results[n].get(key, 0.0) for n in names])
+                ax.set_title(title)
+                ax.tick_params(axis="x", rotation=20)
+            fig.tight_layout()
+            fig.savefig(os.path.join(self.output_dir, filename), dpi=120)
+            plt.close(fig)
+        return results
+
     def compare_quantization_methods(
         self,
         accuracy: Dict[str, Dict[str, float]],

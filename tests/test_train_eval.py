@@ -189,3 +189,24 @@ class TestResume:
         assert t2.best_accuracy == acc1
         t2.train(save_path=ckpt_path, resume=True)
         assert t2.best_accuracy >= acc1
+
+
+class TestAnalyzerExtras:
+    def test_analyze_and_plot_writes_grid(self, tmp_path):
+        from quantnet.report.analyzer import ResultAnalyzer
+
+        an = ResultAnalyzer(str(tmp_path))
+        results = {
+            "fp32": {"accuracy": 85.4, "model_size_mb": 12.4, "inference_time_ms": 2.4},
+            "static": {"accuracy": 85.2, "model_size_mb": 3.1, "inference_time_ms": 2.1},
+        }
+        out = an.analyze_and_plot(results)
+        assert out == results
+        import os
+
+        assert os.path.exists(str(tmp_path / "analysis.png"))
+
+    def test_sample_batch(self, tiny_data):
+        train, _ = tiny_data
+        x, y = train.sample_batch(4)
+        assert x.shape[0] == 4 and y.shape == (4,)
