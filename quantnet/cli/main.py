@@ -391,7 +391,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--scheme", default="all",
                     choices=["all", "bf16", "dynamic", "static", "weight_only", "optimized"])
     sp.add_argument("--observer", default="minmax",
-                    choices=["minmax", "moving_average", "histogram"])
+                    choices=["minmax", "moving_average", "histogram", "mse"])
     sp.add_argument("--calibration-batches", type=int, default=16)
     sp.set_defaults(fn=cmd_quantize)
 

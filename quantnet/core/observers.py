@@ -138,10 +138,82 @@ class HistogramObserver:
         return affine_qparams(xmin, xmax)
 
 
+@struct.dataclass
+class MSEObserver:
+    """MSE-optimal clip range: accumulates the same fixed-range histogram as
+    HistogramObserver, then grid-searches candidate clip ranges and picks the
+    one minimizing expected int8 quantization MSE over the observed
+    distribution (the AIMET/TensorRT-style calibration the reference never
+    had). Strictly better than raw min-max under outliers, and principled
+    where the percentile knob is ad hoc.
+    """
+
+    counts: jax.Array  # f32[bins]
+    lo: jax.Array
+    hi: jax.Array
+    initialized: jax.Array
+    bins: int = struct.field(pytree_node=False, default=2048)
+    num_candidates: int = struct.field(pytree_node=False, default=64)
+
+    @classmethod
+    def init(cls, bins: int = 2048, num_candidates: int = 64):
+        return cls(
+            counts=jnp.zeros((bins,), jnp.float32),
+            lo=jnp.float32(0.0),
+            hi=jnp.float32(1.0),
+            initialized=jnp.array(False),
+            bins=bins,
+            num_candidates=num_candidates,
+        )
+
+    def update(self, x: jax.Array) -> "MSEObserver":
+        x = x.astype(jnp.float32).reshape(-1)
+        bmin, bmax = jnp.min(x), jnp.max(x)
+        lo = jnp.where(self.initialized, self.lo, jnp.minimum(bmin * 3.0, bmin))
+        hi = jnp.where(self.initialized, self.hi, jnp.maximum(bmax * 3.0, bmax))
+        hi = jnp.where(hi > lo, hi, lo + 1.0)
+        idx = jnp.clip(
+            ((x - lo) / (hi - lo) * self.bins).astype(jnp.int32), 0, self.bins - 1
+        )
+        counts = self.counts + jnp.zeros_like(self.counts).at[idx].add(1.0)
+        return MSEObserver(
+            counts=counts, lo=lo, hi=hi, initialized=jnp.array(True),
+            bins=self.bins, num_candidates=self.num_candidates,
+        )
+
+    def qparams(self) -> Tuple[jax.Array, jax.Array]:
+        centers = self.lo + (self.hi - self.lo) * (
+            (jnp.arange(self.bins, dtype=jnp.float32) + 0.5) / self.bins
+        )
+        # nonzero observed range
+        total = jnp.maximum(jnp.sum(self.counts), 1.0)
+        cdf = jnp.cumsum(self.counts) / total
+        obs_lo = centers[jnp.searchsorted(cdf, 1e-9)]
+        obs_hi = centers[jnp.clip(jnp.searchsorted(cdf, 1.0 - 1e-9), 0, self.bins - 1)]
+
+        # candidate ranges: shrink [obs_lo, obs_hi] symmetrically-in-fraction
+        fracs = jnp.linspace(1.0, 1.0 / self.num_candidates, self.num_candidates)
+
+        def mse_of(frac):
+            c_lo = jnp.minimum(obs_lo * frac, 0.0)
+            c_hi = jnp.maximum(obs_hi * frac, 0.0)
+            scale, zp = affine_qparams(c_lo, c_hi)
+            q = jnp.clip(jnp.round(centers / scale) + zp, -128, 127)
+            deq = (q - zp) * scale
+            return jnp.sum(self.counts * (centers - deq) ** 2)
+
+        mses = jax.vmap(mse_of)(fracs)
+        best = fracs[jnp.argmin(mses)]
+        return affine_qparams(
+            jnp.minimum(obs_lo * best, 0.0), jnp.maximum(obs_hi * best, 0.0)
+        )
+
+
 OBSERVERS = {
     "minmax": MinMaxObserver,
     "moving_average": MovingAvgMinMaxObserver,
     "histogram": HistogramObserver,
+    "mse": MSEObserver,
 }
 
 

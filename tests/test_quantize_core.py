@@ -129,3 +129,48 @@ class TestTreeNbytes:
         fp = {"w": w}
         q = {"w": quantize.quantize_symmetric(w, axis=1)}
         assert tree_nbytes(q) < tree_nbytes(fp) / 3.5  # ~4x compression
+
+
+class TestMSEObserver:
+    def test_covers_bulk_and_beats_minmax_under_outliers(self, rng):
+        """With a heavy outlier, the MSE-optimal clip should choose a tighter
+        range than minmax, giving lower quantization MSE over the data."""
+        import jax
+
+        from quantnet.core.observers import make_observer
+        from quantnet.core.quantize import fake_quantize_affine
+
+        x = jax.random.normal(rng, (8192,))
+        x = x.at[0].set(100.0)  # outlier
+
+        mm = make_observer("minmax").update(x)
+        mse_obs = make_observer("mse").update(x)
+        s_mm, z_mm = mm.qparams()
+        s_mse, z_mse = mse_obs.qparams()
+        err_mm = float(jnp.mean((fake_quantize_affine(x, s_mm, z_mm) - x) ** 2))
+        err_mse = float(jnp.mean((fake_quantize_affine(x, s_mse, z_mse) - x) ** 2))
+        assert err_mse < err_mm
+
+    def test_clean_data_close_to_minmax(self, rng):
+        from quantnet.core.observers import make_observer
+
+        x = jax.random.normal(rng, (4096,))
+        s_mse, _ = make_observer("mse").update(x).qparams()
+        s_mm, _ = make_observer("minmax").update(x).qparams()
+        assert 0.3 < float(s_mse) / float(s_mm) <= 1.01
+
+    def test_update_jits_and_scheme_works_end_to_end(self, rng):
+        import jax
+
+        from quantnet.models import convnet
+        from quantnet.quantize import static
+
+        params, state = convnet.init(rng)
+        x = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 3))
+        qp, qs = static.quantize(
+            params, state, convnet.apply, [(x, None)], observer="mse"
+        )
+        got, _ = convnet.apply(qp, qs, x, train=False)
+        ref, _ = convnet.apply(params, state, x, train=False)
+        err = float(jnp.sqrt(jnp.mean((got - ref) ** 2)))
+        assert err < 0.5
