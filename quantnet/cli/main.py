@@ -250,6 +250,25 @@ def cmd_bench(args):
     return results
 
 
+def cmd_import_torch(args):
+    """Convert a reference PyTorch .pth checkpoint into the fp32 artifact
+    (so quantize/evaluate/bench/report run on reference-trained weights)."""
+    from quantnet.models.torch_import import import_checkpoint
+    from quantnet.train import checkpoint as ckpt
+
+    params, state, best = import_checkpoint(args.ckpt, args.model)
+    os.makedirs(args.save_dir, exist_ok=True)
+    ckpt.save_artifact(
+        _artifact_path(args.save_dir, "fp32"),
+        {"params": params, "state": state},
+        {"model": args.model, "best_accuracy": best, "imported_from": args.ckpt},
+    )
+    msg = f"imported {args.ckpt} -> {args.save_dir}/fp32"
+    if best is not None:
+        msg += f" (best_accuracy {best:.4f})"
+    print(msg)
+
+
 def cmd_serve(args):
     """Continuous-batching serving demo/load-test over a saved artifact."""
     import time as _time
@@ -419,6 +438,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--per-device-batch", type=int, default=256)
     sp.add_argument("--iters", type=int, default=20)
     sp.set_defaults(fn=cmd_scaling)
+
+    sp = sub.add_parser("import-torch")
+    common(sp)
+    sp.add_argument("--ckpt", required=True,
+                    help=".pth checkpoint (reference full-dict or raw state_dict)")
+    sp.set_defaults(fn=cmd_import_torch)
 
     sp = sub.add_parser("serve")
     common(sp)
