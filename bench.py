@@ -24,10 +24,9 @@ def _log(msg: str) -> None:
 def main() -> None:
     import jax
 
-    # Persistent compile cache: tunnel-attached devices can take minutes per
-    # fresh program; cached compiles make reruns cheap.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/quantnet_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # NOTE: no persistent compilation cache here — with the tunnel-attached
+    # axon backend, cache deserialization has been observed to hang
+    # intermittently, which is worse than the cold-compile cost it saves.
 
     import jax.numpy as jnp
 

@@ -372,6 +372,9 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
+        sp.add_argument("--config", default=None,
+                        help="JSON file of {flag_dest: value} defaults "
+                             "(CLI flags override it)")
         sp.add_argument("--model", default=None,
                         help="simple_convnet | resnet50 "
                              "(default: simple_convnet; resnet50 for imagenet)")
@@ -488,7 +491,21 @@ def _resolve_defaults(args):
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    import sys as _sys
+
+    argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    parser = build_parser()
+    # --config file.json seeds defaults; explicit flags still win (the one
+    # dataclass-config story of SURVEY.md section 5, layered under argparse).
+    if "--config" in argv:
+        cfg_path = argv[argv.index("--config") + 1]
+        with open(cfg_path) as f:
+            defaults = json.load(f)
+        for sub_action in parser._subparsers._group_actions:
+            for sp in sub_action.choices.values():
+                known = {a.dest for a in sp._actions}
+                sp.set_defaults(**{k: v for k, v in defaults.items() if k in known})
+    args = parser.parse_args(argv)
     _resolve_defaults(args)
     args.fn(args)
 

@@ -83,3 +83,18 @@ def test_skip_training_reuses_checkpoint(workdir, capsys):
     ])
     out = capsys.readouterr().out
     assert "epoch 0" not in out  # no training log lines
+
+
+def test_config_file_seeds_defaults(tmp_path, capsys):
+    import json as _json
+
+    cfg = {"synthetic_train_size": 64, "synthetic_test_size": 64,
+           "batch_size": 32, "epochs": 1,
+           "save_dir": str(tmp_path / "s"), "results_dir": str(tmp_path / "r")}
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        _json.dump(cfg, f)
+    main(["train", "--config", cfg_path])
+    out = capsys.readouterr().out
+    assert "best accuracy" in out
+    assert os.path.exists(str(tmp_path / "s" / "fp32.json"))
