@@ -115,6 +115,17 @@ def _chain_aq(producer: dict, consumer: dict):
     return None
 
 
+def _next_conv1(params: dict, si: int, bi: int):
+    """The conv1 layer dict of the block that consumes this block's output,
+    or None after the last block (avgpool/fc consume f32)."""
+    stage = f"layer{si + 1}"
+    if bi + 1 < STAGES[si]:
+        return params[stage][str(bi + 1)]["conv1"]
+    if si + 1 < len(STAGES):
+        return params[f"layer{si + 2}"]["0"]["conv1"]
+    return None
+
+
 def _maxpool_3x3_s2(x):
     # torch MaxPool2d(3, stride=2, padding=1) semantics; dtype-aware identity
     # element so the int8 handoff path pools in the int8 domain
@@ -166,6 +177,18 @@ def apply(
             prefix = f"{stage}/{b}"
 
             identity = x
+            if x.dtype == jnp.int8 and "downsample" not in bp:
+                # Block-boundary int8 handoff: x arrived quantized in THIS
+                # block's conv1.aq domain. conv1 consumes the int8 directly;
+                # the identity branch dequantizes (elementwise, fused into the
+                # residual add — never a separate HBM tensor). For downsample
+                # blocks the raw int8 feeds the downsample conv instead:
+                # downsample.aq == conv1.aq by construction (both observers
+                # saw the identical input tensor during calibration).
+                from quantnet.core.quantize import dequantize
+
+                a = bp["conv1"]["aq"]
+                identity = dequantize(x, a.scale, a.zero_point)
             # intra-bottleneck int8 handoff (conv3's output feeds the f32
             # residual add, so it stays f32)
             out = _conv_bn(
@@ -196,6 +219,22 @@ def apply(
             # dequantized operands, dynamic_ptq_model.py:88 /
             # custom_quantization_model.py:95-100).
             x = jax.nn.relu(out + identity)
+            # Block-boundary int8 handoff: the block output is the dominant
+            # inter-layer HBM tensor in the net (f32 it is ~22 MB/image across
+            # all 16 blocks); when both this block's conv3 and the next
+            # block's conv1 are statically quantized, requantize here — the
+            # add/relu/quantize all fuse into conv3's epilogue and the tensor
+            # hits HBM at 1 byte/elem. The next iteration dequantizes for its
+            # identity branch (see above).
+            nxt = _next_conv1(params, si, bi)
+            if nxt is not None:
+                boundary_aq = _chain_aq(bp["conv3"], nxt)
+                if boundary_aq is not None:
+                    from quantnet.core.quantize import quantize_affine
+
+                    x = quantize_affine(
+                        x, boundary_aq.scale, boundary_aq.zero_point
+                    )
 
     x = avgpool_global(x)
     if capture is not None:
