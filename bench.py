@@ -38,8 +38,13 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     params, state = convnet.init(rng)
     calib = jax.random.normal(jax.random.PRNGKey(1), (256, 32, 32, 3), jnp.float32)
-    _log("init done; quantizing (static PTQ)")
-    qparams, qstate = static.quantize(params, state, convnet.apply, [(calib, None)])
+    _log("init done; quantizing (static PTQ, fp32-stem deployment policy)")
+    # skip_first_layer: the C=3 stem computes fp32 with an int8 handoff out —
+    # the standard static-PTQ deployment policy; faster AND more accurate on
+    # TPU (docs/PERF.md "first-layer policy").
+    qparams, qstate = static.quantize(
+        params, state, convnet.apply, [(calib, None)], skip_first_layer=True
+    )
     jax.block_until_ready(qparams)
     _log("quantize done; benchmarking")
 

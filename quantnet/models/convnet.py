@@ -86,10 +86,15 @@ def _chain_plan(params) -> dict:
     plan = {}
     for i, name in enumerate(QUANT_LAYERS[:-1]):
         cur, nxt = params.get(name), params.get(QUANT_LAYERS[i + 1])
+        # Any producer can requantize into a static consumer's frozen domain
+        # (every quantnet/ops epilogue honors out_quant — fp32/bf16-policy
+        # islands and weight-only layers included); the producer must be a
+        # post-fold quantized-graph layer (no live BN between it and the
+        # consumer).
         if (
             cur is not None
             and nxt is not None
-            and isinstance(cur.get("aq"), ActQuant)
+            and "bn" not in cur
             and isinstance(nxt.get("aq"), ActQuant)
         ):
             plan[name] = nxt["aq"]

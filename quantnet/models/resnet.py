@@ -104,13 +104,16 @@ def _conv_bn(params, state, new_state, x, *, stride, padding, train, relu, captu
 
 
 def _chain_aq(producer: dict, consumer: dict):
-    """Consumer's ActQuant when the static int8 tensor handoff applies
-    (both layers statically quantized; ops between them monotone)."""
+    """Consumer's ActQuant when the static int8 tensor handoff applies.
+
+    Requires a statically-quantized consumer (frozen ActQuant to requantize
+    into) and a post-fold producer (no live BN after the epilogue); the
+    producer's own compute precision doesn't matter — every quantnet/ops
+    epilogue honors out_quant, so fp32-policy islands (e.g. a
+    skip_first_layer stem) hand off int8 too."""
     from quantnet.core.types import ActQuant
 
-    if isinstance(producer.get("aq"), ActQuant) and isinstance(
-        consumer.get("aq"), ActQuant
-    ):
+    if "bn" not in producer and isinstance(consumer.get("aq"), ActQuant):
         return consumer["aq"]
     return None
 

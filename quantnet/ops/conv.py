@@ -147,11 +147,20 @@ def conv2d(
     if not isinstance(w, QTensor):
         # Narrow-dtype rule (see quantnet/ops/linear.py): bf16 params pull
         # activations down to bf16; f32 params leave them unchanged.
+        # An int8 input means the producer handed off in THIS layer's aq
+        # domain even though this layer computes full-precision (e.g. a
+        # fp32-policy island inside a static net): dequantize first.
+        if x.dtype == jnp.int8:
+            aq = layer["aq"]  # handoff only targets layers with a frozen aq
+            x = (x.astype(jnp.float32) - aq.zero_point) * aq.scale
         cdtype = w.dtype if w.dtype == jnp.bfloat16 else x.dtype
         y = _conv(x.astype(cdtype), w.astype(cdtype), stride, padding, out_dtype)
         if b is not None:
             y = y + b
-        return _apply_act(y, activation)
+        y = _apply_act(y, activation)
+        if out_quant is not None:
+            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
+        return y
 
     kh, kw = w.values.shape[0], w.values.shape[1]
     if padding == "SAME":
@@ -175,7 +184,10 @@ def conv2d(
         ) * w_scale
         if b is not None:
             y = y + b
-        return _apply_act(y, activation)
+        y = _apply_act(y, activation)
+        if out_quant is not None:
+            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
+        return y
 
     if isinstance(aq, DynamicActQuant):
         # Symmetric per-batch quant -> fp32 zero == int8 zero, pad with 0.
@@ -184,7 +196,10 @@ def conv2d(
         y = acc.astype(out_dtype) * (x_scale * w_scale)
         if b is not None:
             y = y + b
-        return _apply_act(y, activation)
+        y = _apply_act(y, activation)
+        if out_quant is not None:
+            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
+        return y
 
     if isinstance(aq, ActQuant):
         # int8 input = already in this layer's aq domain (producer chained)

@@ -80,13 +80,21 @@ def linear(
         # Compute in the narrower dtype: bf16-cast params (quantnet/quantize/
         # bf16.py) pull f32 activations down to bf16 and hit the MXU's fast
         # path; f32 params keep f32 activations unchanged.
+        # int8 input = a producer handed off in this layer's aq domain even
+        # though this layer computes full-precision (fp32-policy island).
+        if x.dtype == jnp.int8:
+            aq = layer["aq"]
+            x = (x.astype(jnp.float32) - aq.zero_point) * aq.scale
         cdtype = w.dtype if w.dtype == jnp.bfloat16 else x.dtype
         y = jnp.dot(
             x.astype(cdtype), w.astype(cdtype), preferred_element_type=out_dtype
         )
         if b is not None:
             y = y + b
-        return _apply_act(y, activation)
+        y = _apply_act(y, activation)
+        if out_quant is not None:
+            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
+        return y
 
     aq = layer.get("aq")
     # scale broadcast shape: () per-tensor or (1, N) per-channel (axis=1)
@@ -100,7 +108,10 @@ def linear(
         ) * w_scale
         if b is not None:
             y = y + b
-        return _apply_act(y, activation)
+        y = _apply_act(y, activation)
+        if out_quant is not None:
+            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
+        return y
 
     if isinstance(aq, DynamicActQuant):
         if cfg.resolve_matmul_backend() == "pallas":

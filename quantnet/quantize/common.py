@@ -69,6 +69,18 @@ def last_layer_path(params: dict) -> Optional[str]:
     return paths[-1] if paths else None
 
 
+def first_layer_path(params: dict) -> Optional[str]:
+    """Path of the first (stem) layer — dict order is model order ('conv1').
+
+    Keeping the stem in fp32 is the standard static-PTQ deployment policy for
+    tiny input channel counts (C=3 images): the s8 conv at C=3 runs far below
+    MXU rates (measured 11 TOP/s vs 394 peak on v5e — docs/PERF.md) while the
+    f32 conv costs less than the quantize+pad passes it replaces, and skipping
+    the input quantization strictly improves accuracy."""
+    paths = layer_paths(params)
+    return paths[0] if paths else None
+
+
 def resolve_policy(
     path: str, default: str, policy: Optional[Dict[str, str]]
 ) -> str:

@@ -23,6 +23,7 @@ import jax
 from quantnet.core.observers import make_observer
 from quantnet.core.types import ActQuant
 from quantnet.quantize.common import (
+    first_layer_path,
     last_layer_path,
     quantize_weight,
     resolve_policy,
@@ -90,6 +91,7 @@ def quantize(
     observer: str = "minmax",
     per_channel: bool = True,
     skip_last_layer: bool = False,
+    skip_first_layer: bool = False,
     layer_policy: Optional[dict] = None,
     last_layer_name: Optional[str] = None,
 ) -> Tuple[dict, dict]:
@@ -97,6 +99,11 @@ def quantize(
 
     Two device programs total: the BN fold (jitted) and the weight-quant bake
     (jitted), plus one jitted calibration step per batch in between.
+
+    skip_first_layer keeps the stem in fp32 compute (its output still hands
+    off int8 to the next static layer) — the standard deployment policy for
+    C=3 image stems, faster AND more accurate on TPU (see
+    quantnet/quantize/common.py::first_layer_path).
     """
     from quantnet.quantize.fold import fold_model_jit
 
@@ -106,23 +113,31 @@ def quantize(
     )
     policy_items = tuple(sorted(layer_policy.items())) if layer_policy else None
     return _bake(
-        params, state, act_qparams, per_channel, skip_last_layer, policy_items,
-        last_layer_name,
+        params, state, act_qparams, per_channel, skip_last_layer,
+        skip_first_layer, policy_items, last_layer_name,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("per_channel", "skip_last_layer", "policy_items", "last_layer_name"),
+    static_argnames=(
+        "per_channel", "skip_last_layer", "skip_first_layer", "policy_items",
+        "last_layer_name",
+    ),
 )
-def _bake(params, state, act_qparams, per_channel, skip_last_layer, policy_items,
-          last_layer_name):
+def _bake(params, state, act_qparams, per_channel, skip_last_layer,
+          skip_first_layer, policy_items, last_layer_name):
     last = last_layer_name or last_layer_path(params)
+    first = first_layer_path(params)
     layer_policy = dict(policy_items) if policy_items else None
 
     def q(path: str, layer: dict) -> dict:
         action = resolve_policy(path, "static", layer_policy)
-        if action == "fp32" or (skip_last_layer and path == last):
+        if (
+            action == "fp32"
+            or (skip_last_layer and path == last)
+            or (skip_first_layer and path == first)
+        ):
             return dict(layer)
         out = dict(layer)
         qw = quantize_weight(layer["w"], per_channel)

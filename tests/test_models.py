@@ -124,6 +124,48 @@ class TestSchemes:
             assert isinstance(layer["w"], QTensor), p
             assert "aq" in layer and "wsum" in layer, p
 
+    def test_static_skip_first_layer(self, model, batch):
+        """fp32 stem (skip_first_layer): conv1 keeps f32 weights but still
+        hands off int8 to conv2 — logits must sit at least as close to FP32
+        as the fully-int8 static path (input quantization noise removed)."""
+        params, state = model
+        calib = [batch]
+        qp, qs = static.quantize(
+            params, state, convnet.apply, calib, skip_first_layer=True
+        )
+        assert not isinstance(_get(qp, "conv1")["w"], QTensor)
+        assert isinstance(_get(qp, "conv2")["w"], QTensor)
+        logits, _ = convnet.apply(qp, qs, batch)
+        ref = self._fp32_logits(model, batch)
+        scale = float(jnp.std(ref))
+        assert _logit_mad(logits, ref) < 0.15 * scale
+        # comparable to (not a regression vs) the fully-int8 static path;
+        # exact ordering is noise — per-layer errors partially cancel
+        full_qp, full_qs = static.quantize(params, state, convnet.apply, calib)
+        full_logits, _ = convnet.apply(full_qp, full_qs, batch)
+        assert _logit_mad(logits, ref) <= 1.1 * _logit_mad(full_logits, ref)
+
+    def test_fp32_island_handoff_matches_consumer_quantize(self, model, batch):
+        """The fp32-producer int8 handoff is numerically identical to the
+        consumer quantizing its own f32 input (quantize commutes with the
+        monotone ops between the layers)."""
+        from quantnet.core.quantize import quantize_affine
+        from quantnet.ops.conv import conv2d
+
+        params, state = model
+        qp, qs = static.quantize(
+            params, state, convnet.apply, [batch], skip_first_layer=True
+        )
+        conv1, conv2 = qp["conv1"], qp["conv2"]
+        aq2 = conv2["aq"]
+        chained = conv2d(
+            conv1, batch, activation="relu", out_quant=aq2
+        )
+        assert chained.dtype == jnp.int8
+        unchained = conv2d(conv1, batch, activation="relu")
+        expected = quantize_affine(unchained, aq2.scale, aq2.zero_point)
+        np.testing.assert_array_equal(np.asarray(chained), np.asarray(expected))
+
     def test_weight_only(self, model, batch):
         params, state = model
         qp, qs = weight_only.quantize(params, state)
