@@ -26,15 +26,22 @@ import jax
 
 
 def _build_model(name: str, num_classes: int, seed: int = 0, conv1_scale: float = 1.0):
+    init_kwargs = {}
     if name == "simple_convnet":
         from quantnet.models import convnet as mod
 
         apply_fn = mod.apply
-    elif name == "resnet50":
+    elif name.startswith("resnet"):
         import functools
 
         from quantnet.models import resnet as mod
 
+        depth = int(name[len("resnet"):])
+        if depth not in mod.VARIANTS:
+            raise SystemExit(
+                f"unknown resnet depth {depth} (have {sorted(mod.VARIANTS)})"
+            )
+        init_kwargs["depth"] = depth
         # conv1_scale: the reference's custom input-scale knob on the stem conv
         # (models/dynamic_ptq_model.py:13-32,157-164).
         apply_fn = (
@@ -44,7 +51,9 @@ def _build_model(name: str, num_classes: int, seed: int = 0, conv1_scale: float 
         )
     else:
         raise SystemExit(f"unknown model {name!r}")
-    params, state = mod.init(jax.random.PRNGKey(seed), num_classes=num_classes)
+    params, state = mod.init(
+        jax.random.PRNGKey(seed), num_classes=num_classes, **init_kwargs
+    )
     return apply_fn, params, state
 
 
@@ -377,7 +386,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="JSON file of {flag_dest: value} defaults "
                              "(CLI flags override it)")
         sp.add_argument("--model", default=None,
-                        help="simple_convnet | resnet50 "
+                        help="simple_convnet | resnet18/34/50/101/152 "
                              "(default: simple_convnet; resnet50 for imagenet)")
         sp.add_argument("--dataset", default="cifar10",
                         choices=["cifar10", "imagenet", "synthetic"])

@@ -31,6 +31,17 @@ STAGES = (3, 4, 6, 3)
 STAGE_WIDTHS = (64, 128, 256, 512)
 EXPANSION = 4
 
+# Family table (torchvision depths): block kind + per-stage block counts.
+# The reference uses only resnet50; the other depths are the same two block
+# kinds re-counted, and every quantization transform applies unchanged.
+VARIANTS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
 
 def _kaiming(rng, shape, fan_in):
     return jax.random.normal(rng, shape, jnp.float32) * jnp.sqrt(2.0 / fan_in)
@@ -47,17 +58,29 @@ def _with_bn(layer, cout, state_slot):
     return layer
 
 
-def init(rng: jax.Array, num_classes: int = 1000) -> Tuple[dict, dict]:
+def init(
+    rng: jax.Array, num_classes: int = 1000, depth: int = 50
+) -> Tuple[dict, dict]:
+    """Initialize any torchvision-family depth (18/34/50/101/152).
+
+    Basic blocks (18/34): [3x3, 3x3], expansion 1; bottlenecks (50/101/152):
+    [1x1, 3x3, 1x1], expansion 4. Downsample convs appear exactly where
+    torchvision puts them (first block of a stage when the stride or the
+    channel count changes). The reference uses only resnet50; the other
+    depths are the same two block kinds re-counted, and every quantization
+    transform applies to them unchanged."""
+    kind, stages = VARIANTS[depth]
+    expansion = EXPANSION if kind == "bottleneck" else 1
     params: dict = {}
     state: dict = {}
-    n_keys = 2 + sum(STAGES) * 4 + len(STAGES)
+    n_keys = 2 + sum(stages) * 4 + len(stages)
     keys = iter(jax.random.split(rng, n_keys + 4))
 
     state["conv1"] = {}
     params["conv1"] = _with_bn(_conv_init(next(keys), 7, 7, 3, 64), 64, state["conv1"])
 
     cin = 64
-    for si, (blocks, width) in enumerate(zip(STAGES, STAGE_WIDTHS)):
+    for si, (blocks, width) in enumerate(zip(stages, STAGE_WIDTHS)):
         stage_name = f"layer{si + 1}"
         params[stage_name] = {}
         state[stage_name] = {}
@@ -65,12 +88,17 @@ def init(rng: jax.Array, num_classes: int = 1000) -> Tuple[dict, dict]:
             bp: dict = {}
             bs: dict = {}
             stride = 2 if (bi == 0 and si > 0) else 1
-            cout = width * EXPANSION
-            bs["conv1"], bs["conv2"], bs["conv3"] = {}, {}, {}
-            bp["conv1"] = _with_bn(_conv_init(next(keys), 1, 1, cin, width), width, bs["conv1"])
-            bp["conv2"] = _with_bn(_conv_init(next(keys), 3, 3, width, width), width, bs["conv2"])
-            bp["conv3"] = _with_bn(_conv_init(next(keys), 1, 1, width, cout), cout, bs["conv3"])
-            if bi == 0:
+            cout = width * expansion
+            if kind == "bottleneck":
+                bs["conv1"], bs["conv2"], bs["conv3"] = {}, {}, {}
+                bp["conv1"] = _with_bn(_conv_init(next(keys), 1, 1, cin, width), width, bs["conv1"])
+                bp["conv2"] = _with_bn(_conv_init(next(keys), 3, 3, width, width), width, bs["conv2"])
+                bp["conv3"] = _with_bn(_conv_init(next(keys), 1, 1, width, cout), cout, bs["conv3"])
+            else:
+                bs["conv1"], bs["conv2"] = {}, {}
+                bp["conv1"] = _with_bn(_conv_init(next(keys), 3, 3, cin, width), width, bs["conv1"])
+                bp["conv2"] = _with_bn(_conv_init(next(keys), 3, 3, width, cout), cout, bs["conv2"])
+            if bi == 0 and (stride != 1 or cin != cout):
                 bs["downsample"] = {}
                 bp["downsample"] = _with_bn(
                     _conv_init(next(keys), 1, 1, cin, cout), cout, bs["downsample"]
@@ -118,13 +146,20 @@ def _chain_aq(producer: dict, consumer: dict):
     return None
 
 
+def _stage_sizes(params: dict) -> Tuple[int, ...]:
+    """Per-stage block counts, read off the params tree (so apply serves
+    every VARIANTS depth from the same function)."""
+    return tuple(len(params[f"layer{i + 1}"]) for i in range(4))
+
+
 def _next_conv1(params: dict, si: int, bi: int):
     """The conv1 layer dict of the block that consumes this block's output,
     or None after the last block (avgpool/fc consume f32)."""
+    stages = _stage_sizes(params)
     stage = f"layer{si + 1}"
-    if bi + 1 < STAGES[si]:
+    if bi + 1 < stages[si]:
         return params[stage][str(bi + 1)]["conv1"]
-    if si + 1 < len(STAGES):
+    if si + 1 < len(stages):
         return params[f"layer{si + 2}"]["0"]["conv1"]
     return None
 
@@ -169,15 +204,17 @@ def apply(
         new_state["conv1"] = ns1
     x = _maxpool_3x3_s2(x)
 
-    for si in range(len(STAGES)):
+    stages = _stage_sizes(params)
+    for si in range(len(stages)):
         stage = f"layer{si + 1}"
-        for bi in range(STAGES[si]):
+        for bi in range(stages[si]):
             b = str(bi)
             bp = params[stage][b]
             bs = state.get(stage, {}).get(b, {})
             nbs = new_state.get(stage, {}).get(b, {}) if train else {}
             stride = 2 if (bi == 0 and si > 0) else 1
             prefix = f"{stage}/{b}"
+            bottleneck = "conv3" in bp
 
             identity = x
             if x.dtype == jnp.int8 and "downsample" not in bp:
@@ -192,25 +229,40 @@ def apply(
 
                 a = bp["conv1"]["aq"]
                 identity = dequantize(x, a.scale, a.zero_point)
-            # intra-bottleneck int8 handoff (conv3's output feeds the f32
+            # intra-block int8 handoff (the last conv's output feeds the f32
             # residual add, so it stays f32)
-            out = _conv_bn(
-                bp["conv1"], bs.get("conv1", {}), nbs.setdefault("conv1", {}) if train else {},
-                x, stride=1, padding="VALID", train=train, relu=True,
-                capture=capture, path=f"{prefix}/conv1",
-                out_quant=_chain_aq(bp["conv1"], bp["conv2"]),
-            )
-            out = _conv_bn(
-                bp["conv2"], bs.get("conv2", {}), nbs.setdefault("conv2", {}) if train else {},
-                out, stride=stride, padding="SAME", train=train, relu=True,
-                capture=capture, path=f"{prefix}/conv2",
-                out_quant=_chain_aq(bp["conv2"], bp["conv3"]),
-            )
-            out = _conv_bn(
-                bp["conv3"], bs.get("conv3", {}), nbs.setdefault("conv3", {}) if train else {},
-                out, stride=1, padding="VALID", train=train, relu=False,
-                capture=capture, path=f"{prefix}/conv3",
-            )
+            if bottleneck:
+                out = _conv_bn(
+                    bp["conv1"], bs.get("conv1", {}), nbs.setdefault("conv1", {}) if train else {},
+                    x, stride=1, padding="VALID", train=train, relu=True,
+                    capture=capture, path=f"{prefix}/conv1",
+                    out_quant=_chain_aq(bp["conv1"], bp["conv2"]),
+                )
+                out = _conv_bn(
+                    bp["conv2"], bs.get("conv2", {}), nbs.setdefault("conv2", {}) if train else {},
+                    out, stride=stride, padding="SAME", train=train, relu=True,
+                    capture=capture, path=f"{prefix}/conv2",
+                    out_quant=_chain_aq(bp["conv2"], bp["conv3"]),
+                )
+                out = _conv_bn(
+                    bp["conv3"], bs.get("conv3", {}), nbs.setdefault("conv3", {}) if train else {},
+                    out, stride=1, padding="VALID", train=train, relu=False,
+                    capture=capture, path=f"{prefix}/conv3",
+                )
+            else:
+                # Basic block (resnet18/34): [3x3 stride, 3x3], expansion 1
+                # (torchvision puts the stride on conv1).
+                out = _conv_bn(
+                    bp["conv1"], bs.get("conv1", {}), nbs.setdefault("conv1", {}) if train else {},
+                    x, stride=stride, padding="SAME", train=train, relu=True,
+                    capture=capture, path=f"{prefix}/conv1",
+                    out_quant=_chain_aq(bp["conv1"], bp["conv2"]),
+                )
+                out = _conv_bn(
+                    bp["conv2"], bs.get("conv2", {}), nbs.setdefault("conv2", {}) if train else {},
+                    out, stride=1, padding="SAME", train=train, relu=False,
+                    capture=capture, path=f"{prefix}/conv2",
+                )
             if "downsample" in bp:
                 identity = _conv_bn(
                     bp["downsample"], bs.get("downsample", {}),
@@ -231,7 +283,9 @@ def apply(
             # identity branch (see above).
             nxt = _next_conv1(params, si, bi)
             if nxt is not None:
-                boundary_aq = _chain_aq(bp["conv3"], nxt)
+                boundary_aq = _chain_aq(
+                    bp["conv3"] if bottleneck else bp["conv2"], nxt
+                )
                 if boundary_aq is not None:
                     from quantnet.core.quantize import quantize_affine
 

@@ -96,15 +96,16 @@ def convnet_from_torch(sd: Dict) -> Tuple[dict, dict]:
     return params, state
 
 
-def resnet50_from_torch(sd: Dict) -> Tuple[dict, dict]:
-    """torchvision ResNet-50 state_dict -> (params, state).
+def resnet_from_torch(sd: Dict) -> Tuple[dict, dict]:
+    """torchvision ResNet state_dict -> (params, state), any family depth.
 
     Covers the reference's ImageNet track (models/dynamic_ptq_model.py uses
-    torchvision.models.resnet50 — the quantized families wrap its modules).
+    torchvision.models.resnet50 — the quantized families wrap its modules);
+    resnet18/34/101/152 share the naming scheme and import identically. The
+    structure (stage block counts, basic vs bottleneck) is read off the
+    state_dict keys.
     """
     import jax.numpy as jnp
-
-    from quantnet.models.resnet import STAGES
 
     def conv_bn(conv_key: str, bn_key: str, slot_state: dict) -> dict:
         bn_p, bn_s = _bn(sd, bn_key)
@@ -121,15 +122,17 @@ def resnet50_from_torch(sd: Dict) -> Tuple[dict, dict]:
     state: dict = {"conv1": {}}
     params["conv1"] = conv_bn("conv1", "bn1", state["conv1"])
 
-    for si, blocks in enumerate(STAGES):
+    n_convs = 3 if "layer1.0.conv3.weight" in sd else 2
+    for si in range(4):
         stage = f"layer{si + 1}"
         params[stage] = {}
         state[stage] = {}
-        for bi in range(blocks):
+        bi = 0
+        while f"{stage}.{bi}.conv1.weight" in sd:
             t = f"{stage}.{bi}"
             bp: dict = {}
-            bs: dict = {"conv1": {}, "conv2": {}, "conv3": {}}
-            for ci in (1, 2, 3):
+            bs: dict = {f"conv{ci}": {} for ci in range(1, n_convs + 1)}
+            for ci in range(1, n_convs + 1):
                 bp[f"conv{ci}"] = conv_bn(f"{t}.conv{ci}", f"{t}.bn{ci}", bs[f"conv{ci}"])
             if f"{t}.downsample.0.weight" in sd:
                 bs["downsample"] = {}
@@ -138,12 +141,17 @@ def resnet50_from_torch(sd: Dict) -> Tuple[dict, dict]:
                 )
             params[stage][str(bi)] = bp
             state[stage][str(bi)] = bs
+            bi += 1
 
     params["fc"] = {
         "w": jnp.asarray(_linear_w(sd["fc.weight"])),
         "b": jnp.asarray(_np(sd["fc.bias"])),
     }
     return params, state
+
+
+# Backwards-compatible alias (the reference track is resnet50).
+resnet50_from_torch = resnet_from_torch
 
 
 def import_checkpoint(
@@ -161,8 +169,8 @@ def import_checkpoint(
         sd = blob
     if model == "simple_convnet":
         params, state = convnet_from_torch(sd)
-    elif model == "resnet50":
-        params, state = resnet50_from_torch(sd)
+    elif model.startswith("resnet"):
+        params, state = resnet_from_torch(sd)
     else:
         raise ValueError(f"unknown model {model!r}")
     return params, state, (float(best) if best is not None else None)

@@ -121,3 +121,78 @@ class TestResNetQuant:
         fparams, _ = fold.fold_model(params, state)
         qp, _ = dynamic.quantize(params, state, last_layer_name="fc")
         assert tree_nbytes(fparams) / tree_nbytes(qp) > 3.5
+
+
+class TestResNetFamily:
+    """Every torchvision depth initializes, runs, and quantizes with the same
+    transforms (reference uses resnet50 only; the family shares its two block
+    kinds — quantnet/models/resnet.py VARIANTS)."""
+
+    @pytest.mark.parametrize("depth,params_m", [(18, 11.2), (34, 21.3)])
+    def test_basic_block_depths(self, depth, params_m, batch):
+        params, state = resnet.init(
+            jax.random.PRNGKey(0), num_classes=100, depth=depth
+        )
+        n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        # torchvision 1000-class counts minus most of the smaller head
+        assert abs(n / 1e6 - params_m) < 1.5, n
+        logits, _ = resnet.apply(params, state, batch)
+        assert logits.shape == (2, 100)
+
+    def test_resnet18_static_int8_with_handoff(self, batch):
+        params, state = resnet.init(
+            jax.random.PRNGKey(0), num_classes=100, depth=18
+        )
+        ref, _ = resnet.apply(params, state, batch)
+        qp, qs = static.quantize(
+            params, state, resnet.apply, [(batch, None)], skip_first_layer=True
+        )
+        # basic blocks: conv1/conv2 only, no conv3 anywhere
+        assert "conv3" not in qp["layer1"]["0"]
+        assert isinstance(qp["layer1"]["0"]["conv1"]["w"], QTensor)
+        # layer1/0 has no downsample (stride 1, 64->64); layer2/0 does
+        assert "downsample" not in qp["layer1"]["0"]
+        assert "downsample" in qp["layer2"]["0"]
+        logits, _ = resnet.apply(qp, qs, batch)
+        scale = float(jnp.std(ref))
+        assert float(jnp.mean(jnp.abs(logits - ref))) < 0.35 * scale
+
+    def test_resnet101_structure(self):
+        params, state = resnet.init(jax.random.PRNGKey(0), depth=101)
+        assert len(params["layer3"]) == 23
+        n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        assert 42e6 < n < 46e6  # torchvision resnet101: 44.5M
+
+    def test_import_torchvision_resnet18_naming(self):
+        """Importer consumes torchvision's state_dict naming for basic-block
+        depths (synthetic tensors, no download)."""
+        torch = pytest.importorskip("torch")
+        from quantnet.models.torch_import import resnet_from_torch
+
+        sd = {}
+        def add_conv_bn(conv, bn, cin, cout, k):
+            sd[f"{conv}.weight"] = torch.randn(cout, cin, k, k)
+            sd[f"{bn}.weight"] = torch.randn(cout)
+            sd[f"{bn}.bias"] = torch.randn(cout)
+            sd[f"{bn}.running_mean"] = torch.randn(cout)
+            sd[f"{bn}.running_var"] = torch.rand(cout) + 0.5
+
+        add_conv_bn("conv1", "bn1", 3, 64, 7)
+        cin = 64
+        for si, blocks in enumerate((2, 2, 2, 2)):
+            width = (64, 128, 256, 512)[si]
+            for bi in range(blocks):
+                t = f"layer{si + 1}.{bi}"
+                add_conv_bn(f"{t}.conv1", f"{t}.bn1", cin, width, 3)
+                add_conv_bn(f"{t}.conv2", f"{t}.bn2", width, width, 3)
+                if bi == 0 and si > 0:
+                    add_conv_bn(f"{t}.downsample.0", f"{t}.downsample.1",
+                                cin, width, 1)
+                cin = width
+        sd["fc.weight"] = torch.randn(10, 512)
+        sd["fc.bias"] = torch.randn(10)
+
+        params, state = resnet_from_torch(sd)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
+        logits, _ = resnet.apply(params, state, x)
+        assert logits.shape == (2, 10)
