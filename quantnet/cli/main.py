@@ -108,6 +108,7 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
     out["static"] = static.quantize(
         params, state, apply_fn, calib, observer=args.observer,
         skip_first_layer=getattr(args, "skip_first_layer", False),
+        pre_add_quant=getattr(args, "pre_add_quant", False),
     )
     out["weight_only"] = weight_only.quantize(params, state)
     importance = getattr(args, "importance", None) or (
@@ -429,6 +430,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="static scheme: keep the stem in fp32 compute "
                          "(int8 handoff out) — faster and more accurate for "
                          "C=3 image stems on TPU (docs/PERF.md)")
+    sp.add_argument("--pre-add-quant", action="store_true",
+                    help="static scheme: quantize residual operands before "
+                         "the add in downsample blocks (reference residual "
+                         "semantics; bandwidth win on TPU)")
     sp.set_defaults(fn=cmd_quantize)
 
     sp = sub.add_parser("evaluate")
@@ -484,6 +489,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--calibration-batches", type=int, default=16)
     sp.add_argument("--skip-first-layer", action="store_true",
                     help="static scheme: fp32 stem with int8 handoff out")
+    sp.add_argument("--pre-add-quant", action="store_true",
+                    help="static scheme: quantize residual operands before "
+                         "the add in downsample blocks (reference residual "
+                         "semantics; bandwidth win on TPU)")
     sp.add_argument("--eval-batch-size", type=int, default=512)
     sp.add_argument("--batch-sizes", default="1,32,1024")
     sp.add_argument("--warmup", type=int, default=10)

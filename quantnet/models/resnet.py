@@ -248,6 +248,7 @@ def apply(
                     bp["conv3"], bs.get("conv3", {}), nbs.setdefault("conv3", {}) if train else {},
                     out, stride=1, padding="VALID", train=train, relu=False,
                     capture=capture, path=f"{prefix}/conv3",
+                    out_quant=bp["conv3"].get("oq"),
                 )
             else:
                 # Basic block (resnet18/34): [3x3 stride, 3x3], expansion 1
@@ -262,6 +263,7 @@ def apply(
                     bp["conv2"], bs.get("conv2", {}), nbs.setdefault("conv2", {}) if train else {},
                     out, stride=1, padding="SAME", train=train, relu=False,
                     capture=capture, path=f"{prefix}/conv2",
+                    out_quant=bp["conv2"].get("oq"),
                 )
             if "downsample" in bp:
                 identity = _conv_bn(
@@ -269,7 +271,29 @@ def apply(
                     nbs.setdefault("downsample", {}) if train else {},
                     x, stride=stride, padding="VALID", train=train, relu=False,
                     capture=capture, path=f"{prefix}/downsample",
+                    out_quant=bp["downsample"].get("oq"),
                 )
+                if capture is not None:
+                    # Pre-add output stats (":out" keys, downsample blocks
+                    # only): lets static PTQ quantize both residual operands
+                    # before the add (pre_add_quant) — the reference's own
+                    # semantics (custom_quantization_model.py:95-100
+                    # dequantizes both operands before adding), and it keeps
+                    # XLA from materializing raw s32 conv accumulators
+                    # (docs/PERF.md headroom item 2).
+                    last_conv = "conv3" if bottleneck else "conv2"
+                    capture[f"{prefix}/{last_conv}:out"] = out
+                    capture[f"{prefix}/downsample:out"] = identity
+                if identity.dtype == jnp.int8:
+                    from quantnet.core.quantize import dequantize
+
+                    ds_oq = bp["downsample"]["oq"]
+                    identity = dequantize(identity, ds_oq.scale, ds_oq.zero_point)
+            if out.dtype == jnp.int8:
+                from quantnet.core.quantize import dequantize
+
+                oq = bp["conv3" if bottleneck else "conv2"]["oq"]
+                out = dequantize(out, oq.scale, oq.zero_point)
             # Residual add in the fp32 accumulate domain (reference semantics:
             # dequantized operands, dynamic_ptq_model.py:88 /
             # custom_quantization_model.py:95-100).

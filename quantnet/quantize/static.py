@@ -92,6 +92,7 @@ def quantize(
     per_channel: bool = True,
     skip_last_layer: bool = False,
     skip_first_layer: bool = False,
+    pre_add_quant: bool = False,
     layer_policy: Optional[dict] = None,
     last_layer_name: Optional[str] = None,
 ) -> Tuple[dict, dict]:
@@ -104,6 +105,12 @@ def quantize(
     off int8 to the next static layer) — the standard deployment policy for
     C=3 image stems, faster AND more accurate on TPU (see
     quantnet/quantize/common.py::first_layer_path).
+
+    pre_add_quant quantizes residual-branch outputs before the add wherever
+    the model captured ":out" stats (ResNet downsample blocks): the
+    reference's own residual semantics (custom_quantization_model.py:95-100
+    dequantizes both operands before adding) and a bandwidth win — both
+    branch tensors cross HBM as int8 instead of a raw s32/f32 accumulator.
     """
     from quantnet.quantize.fold import fold_model_jit
 
@@ -114,19 +121,19 @@ def quantize(
     policy_items = tuple(sorted(layer_policy.items())) if layer_policy else None
     return _bake(
         params, state, act_qparams, per_channel, skip_last_layer,
-        skip_first_layer, policy_items, last_layer_name,
+        skip_first_layer, pre_add_quant, policy_items, last_layer_name,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "per_channel", "skip_last_layer", "skip_first_layer", "policy_items",
-        "last_layer_name",
+        "per_channel", "skip_last_layer", "skip_first_layer", "pre_add_quant",
+        "policy_items", "last_layer_name",
     ),
 )
 def _bake(params, state, act_qparams, per_channel, skip_last_layer,
-          skip_first_layer, policy_items, last_layer_name):
+          skip_first_layer, pre_add_quant, policy_items, last_layer_name):
     last = last_layer_name or last_layer_path(params)
     first = first_layer_path(params)
     layer_policy = dict(policy_items) if policy_items else None
@@ -145,6 +152,9 @@ def _bake(params, state, act_qparams, per_channel, skip_last_layer,
         scale, zp = act_qparams[path]
         out["aq"] = ActQuant(scale=scale, zero_point=zp)
         out["wsum"] = weight_colsum(qw)
+        if pre_add_quant and f"{path}:out" in act_qparams:
+            oscale, ozp = act_qparams[f"{path}:out"]
+            out["oq"] = ActQuant(scale=oscale, zero_point=ozp)
         return out
 
     return walk_layers(params, q), state

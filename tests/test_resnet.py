@@ -196,3 +196,33 @@ class TestResNetFamily:
         x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
         logits, _ = resnet.apply(params, state, x)
         assert logits.shape == (2, 10)
+
+
+class TestPreAddQuant:
+    def test_oq_attached_and_accuracy_bounded(self, model, batch):
+        params, state = model
+        ref, _ = resnet.apply(params, state, batch)
+        qp, qs = static.quantize(
+            params, state, resnet.apply, [(batch, None)], pre_add_quant=True
+        )
+        # oq lands on conv3 + downsample of downsample blocks only
+        assert "oq" in qp["layer1"]["0"]["conv3"]
+        assert "oq" in qp["layer1"]["0"]["downsample"]
+        assert "oq" not in qp["layer1"]["1"]["conv3"]
+        logits, _ = resnet.apply(qp, qs, batch)
+        scale = float(jnp.std(ref))
+        assert float(jnp.mean(jnp.abs(logits - ref))) < 0.35 * scale
+
+    def test_artifact_roundtrip_preserves_oq(self, model, batch, tmp_path):
+        from quantnet.train import checkpoint as ckpt
+
+        params, state = model
+        qp, qs = static.quantize(
+            params, state, resnet.apply, [(batch, None)], pre_add_quant=True
+        )
+        a, _ = resnet.apply(qp, qs, batch)
+        path = str(tmp_path / "static_oq")
+        ckpt.save_artifact(path, {"params": qp, "state": qs}, {"scheme": "static"})
+        tree, meta = ckpt.load_artifact(path)
+        b, _ = resnet.apply(tree["params"], tree["state"], batch)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
