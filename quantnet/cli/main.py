@@ -36,7 +36,10 @@ def _build_model(name: str, num_classes: int, seed: int = 0, conv1_scale: float 
 
         from quantnet.models import resnet as mod
 
-        depth = int(name[len("resnet"):])
+        try:
+            depth = int(name[len("resnet"):])
+        except ValueError:
+            raise SystemExit(f"unknown model {name!r}")
         if depth not in mod.VARIANTS:
             raise SystemExit(
                 f"unknown resnet depth {depth} (have {sorted(mod.VARIANTS)})"

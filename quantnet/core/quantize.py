@@ -115,3 +115,12 @@ def fake_quantize_symmetric(x: jax.Array, axis: Optional[int] = None) -> jax.Arr
 def fake_quantize_affine(x, scale, zero_point):
     q = quantize_affine(x, scale, zero_point)
     return dequantize(q, scale, zero_point)
+
+
+def maybe_requantize(y: jax.Array, out_quant) -> jax.Array:
+    """int8 tensor-handoff epilogue: requantize `y` into the consumer's
+    frozen affine domain when `out_quant` (an ActQuant) is given, else pass
+    through. Shared by every conv/linear epilogue branch."""
+    if out_quant is None:
+        return y
+    return quantize_affine(y, out_quant.scale, out_quant.zero_point)

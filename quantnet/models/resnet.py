@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from quantnet.core.quantize import dequantize, quantize_affine
 from quantnet.ops.conv import conv2d
 from quantnet.ops.layers import avgpool_global, batchnorm_apply, batchnorm_init
 from quantnet.ops.linear import linear
@@ -217,16 +218,18 @@ def apply(
             bottleneck = "conv3" in bp
 
             identity = x
-            if x.dtype == jnp.int8 and "downsample" not in bp:
+            if x.dtype == jnp.int8:
                 # Block-boundary int8 handoff: x arrived quantized in THIS
-                # block's conv1.aq domain. conv1 consumes the int8 directly;
-                # the identity branch dequantizes (elementwise, fused into the
-                # residual add — never a separate HBM tensor). For downsample
-                # blocks the raw int8 feeds the downsample conv instead:
-                # downsample.aq == conv1.aq by construction (both observers
-                # saw the identical input tensor during calibration).
-                from quantnet.core.quantize import dequantize
-
+                # block's conv1.aq domain (the handoff is gated on conv1
+                # having a frozen ActQuant). conv1 consumes the int8
+                # directly; every other consumer (the residual identity, and
+                # the downsample conv, which requantizes into its own domain)
+                # takes the dequantized form — elementwise, fused into its
+                # consumer, never a separate HBM tensor. When downsample.aq
+                # equals conv1.aq (always true for trees calibrated here —
+                # both observers see the same tensor) the dequant→requant
+                # round-trip is value-exact, and when they differ it is
+                # correct by construction.
                 a = bp["conv1"]["aq"]
                 identity = dequantize(x, a.scale, a.zero_point)
             # intra-block int8 handoff (the last conv's output feeds the f32
@@ -266,12 +269,28 @@ def apply(
                     out_quant=bp["conv2"].get("oq"),
                 )
             if "downsample" in bp:
+                from quantnet.core.types import ActQuant
+
+                ds = bp["downsample"]
+                # A statically-quantized downsample consumes the raw int8
+                # directly: downsample.aq == conv1.aq for every tree
+                # static.quantize produces (identical capture tensor,
+                # identical observer — asserted by
+                # tests/test_resnet.py::test_downsample_aq_equals_conv1_aq),
+                # so the int8 IS in its domain. Any other precision (a
+                # fp32/bf16/weight-only policy island) takes the dequantized
+                # form instead — feeding it raw int8 would be wrong (and a
+                # measured 1.5 ms loss when "fixed" by always dequantizing:
+                # the f32 form materializes; docs/PERF.md).
+                ds_in = x if (
+                    x.dtype == jnp.int8 and isinstance(ds.get("aq"), ActQuant)
+                ) else identity
                 identity = _conv_bn(
-                    bp["downsample"], bs.get("downsample", {}),
+                    ds, bs.get("downsample", {}),
                     nbs.setdefault("downsample", {}) if train else {},
-                    x, stride=stride, padding="VALID", train=train, relu=False,
-                    capture=capture, path=f"{prefix}/downsample",
-                    out_quant=bp["downsample"].get("oq"),
+                    ds_in, stride=stride, padding="VALID", train=train,
+                    relu=False, capture=capture, path=f"{prefix}/downsample",
+                    out_quant=ds.get("oq"),
                 )
                 if capture is not None:
                     # Pre-add output stats (":out" keys, downsample blocks
@@ -285,13 +304,9 @@ def apply(
                     capture[f"{prefix}/{last_conv}:out"] = out
                     capture[f"{prefix}/downsample:out"] = identity
                 if identity.dtype == jnp.int8:
-                    from quantnet.core.quantize import dequantize
-
                     ds_oq = bp["downsample"]["oq"]
                     identity = dequantize(identity, ds_oq.scale, ds_oq.zero_point)
             if out.dtype == jnp.int8:
-                from quantnet.core.quantize import dequantize
-
                 oq = bp["conv3" if bottleneck else "conv2"]["oq"]
                 out = dequantize(out, oq.scale, oq.zero_point)
             # Residual add in the fp32 accumulate domain (reference semantics:
@@ -311,8 +326,6 @@ def apply(
                     bp["conv3"] if bottleneck else bp["conv2"], nxt
                 )
                 if boundary_aq is not None:
-                    from quantnet.core.quantize import quantize_affine
-
                     x = quantize_affine(
                         x, boundary_aq.scale, boundary_aq.zero_point
                     )

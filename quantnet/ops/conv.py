@@ -21,7 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from quantnet.core import config as cfg
-from quantnet.core.quantize import dynamic_quantize, quantize_affine
+from quantnet.core.quantize import (
+    dynamic_quantize,
+    maybe_requantize,
+    quantize_affine,
+)
 from quantnet.core.types import ActQuant, DynamicActQuant, QTensor
 
 DIMNUMS = ("NHWC", "HWIO", "NHWC")
@@ -146,21 +150,15 @@ def conv2d(
 
     if not isinstance(w, QTensor):
         # Narrow-dtype rule (see quantnet/ops/linear.py): bf16 params pull
-        # activations down to bf16; f32 params leave them unchanged.
-        # An int8 input means the producer handed off in THIS layer's aq
-        # domain even though this layer computes full-precision (e.g. a
-        # fp32-policy island inside a static net): dequantize first.
-        if x.dtype == jnp.int8:
-            aq = layer["aq"]  # handoff only targets layers with a frozen aq
-            x = (x.astype(jnp.float32) - aq.zero_point) * aq.scale
+        # activations down to bf16; f32 params leave them unchanged. (An
+        # int8 input can't reach here: the handoff plans only requantize
+        # into consumers with a frozen ActQuant, which always have QTensor
+        # weights.)
         cdtype = w.dtype if w.dtype == jnp.bfloat16 else x.dtype
         y = _conv(x.astype(cdtype), w.astype(cdtype), stride, padding, out_dtype)
         if b is not None:
             y = y + b
-        y = _apply_act(y, activation)
-        if out_quant is not None:
-            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
-        return y
+        return maybe_requantize(_apply_act(y, activation), out_quant)
 
     kh, kw = w.values.shape[0], w.values.shape[1]
     if padding == "SAME":
@@ -184,10 +182,7 @@ def conv2d(
         ) * w_scale
         if b is not None:
             y = y + b
-        y = _apply_act(y, activation)
-        if out_quant is not None:
-            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
-        return y
+        return maybe_requantize(_apply_act(y, activation), out_quant)
 
     if isinstance(aq, DynamicActQuant):
         # Symmetric per-batch quant -> fp32 zero == int8 zero, pad with 0.
@@ -196,10 +191,7 @@ def conv2d(
         y = acc.astype(out_dtype) * (x_scale * w_scale)
         if b is not None:
             y = y + b
-        y = _apply_act(y, activation)
-        if out_quant is not None:
-            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
-        return y
+        return maybe_requantize(_apply_act(y, activation), out_quant)
 
     if isinstance(aq, ActQuant):
         # int8 input = already in this layer's aq domain (producer chained)
@@ -211,9 +203,6 @@ def conv2d(
         y = acc.astype(out_dtype) * (aq.scale * w_scale)
         if b is not None:
             y = y + b
-        y = _apply_act(y, activation)
-        if out_quant is not None:
-            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
-        return y
+        return maybe_requantize(_apply_act(y, activation), out_quant)
 
     raise TypeError(f"unsupported activation-quant leaf {type(aq)}")

@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 
 from quantnet.core import config as cfg
-from quantnet.core.quantize import SYM_MAX, dynamic_quantize, quantize_affine
+from quantnet.core.quantize import (
+    SYM_MAX,
+    dynamic_quantize,
+    maybe_requantize,
+    quantize_affine,
+)
 from quantnet.core.types import ActQuant, DynamicActQuant, QTensor
 
 
@@ -79,22 +84,16 @@ def linear(
     if not isinstance(w, QTensor):
         # Compute in the narrower dtype: bf16-cast params (quantnet/quantize/
         # bf16.py) pull f32 activations down to bf16 and hit the MXU's fast
-        # path; f32 params keep f32 activations unchanged.
-        # int8 input = a producer handed off in this layer's aq domain even
-        # though this layer computes full-precision (fp32-policy island).
-        if x.dtype == jnp.int8:
-            aq = layer["aq"]
-            x = (x.astype(jnp.float32) - aq.zero_point) * aq.scale
+        # path; f32 params keep f32 activations unchanged. (An int8 input
+        # can't reach here: handoff plans only target consumers with a
+        # frozen ActQuant, which always carry QTensor weights.)
         cdtype = w.dtype if w.dtype == jnp.bfloat16 else x.dtype
         y = jnp.dot(
             x.astype(cdtype), w.astype(cdtype), preferred_element_type=out_dtype
         )
         if b is not None:
             y = y + b
-        y = _apply_act(y, activation)
-        if out_quant is not None:
-            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
-        return y
+        return maybe_requantize(_apply_act(y, activation), out_quant)
 
     aq = layer.get("aq")
     # scale broadcast shape: () per-tensor or (1, N) per-channel (axis=1)
@@ -108,10 +107,7 @@ def linear(
         ) * w_scale
         if b is not None:
             y = y + b
-        y = _apply_act(y, activation)
-        if out_quant is not None:
-            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
-        return y
+        return maybe_requantize(_apply_act(y, activation), out_quant)
 
     if isinstance(aq, DynamicActQuant):
         if cfg.resolve_matmul_backend() == "pallas":
@@ -125,14 +121,14 @@ def linear(
                 w_scale,
                 b if b is not None else jnp.zeros((), out_dtype),
             )
-            return _apply_act(y, activation)
+            return maybe_requantize(_apply_act(y, activation), out_quant)
         # Per-batch symmetric activation quant (per-row for accuracy: axis=0).
         qx, x_scale = dynamic_quantize(x, axis=0)
         acc = _int8_matmul(qx, w.values)
         y = acc.astype(out_dtype) * (x_scale * w_scale)
         if b is not None:
             y = y + b
-        return _apply_act(y, activation)
+        return maybe_requantize(_apply_act(y, activation), out_quant)
 
     if isinstance(aq, ActQuant):
         # Static: frozen asymmetric input quant. (qx - zp) @ qw expands to
@@ -144,9 +140,6 @@ def linear(
         y = acc.astype(out_dtype) * (aq.scale * w_scale)
         if b is not None:
             y = y + b
-        y = _apply_act(y, activation)
-        if out_quant is not None:
-            y = quantize_affine(y, out_quant.scale, out_quant.zero_point)
-        return y
+        return maybe_requantize(_apply_act(y, activation), out_quant)
 
     raise TypeError(f"unsupported activation-quant leaf {type(aq)}")

@@ -44,12 +44,15 @@ def calibrate(
     *,
     observer: str = "minmax",
     observer_kwargs: Optional[dict] = None,
+    include_output_stats: bool = False,
 ) -> Dict[str, Tuple[jax.Array, jax.Array]]:
     """Run calibration batches, return {layer_path: (scale, zero_point)}.
 
     `params` must already be BN-folded (capture hooks live on the folded path).
     The per-batch observer update is a single jitted function over the whole
     observer pytree — one device program per batch, no per-layer host syncs.
+    ":out" capture keys (pre-add residual stats) are observed only when
+    include_output_stats is set — they exist solely for pre_add_quant.
     """
     observer_kwargs = observer_kwargs or {}
 
@@ -59,12 +62,14 @@ def calibrate(
         apply_fn(params, state, x, capture=cap)
         return cap
 
-    first = None
     batches = iter(batches)
     first_batch = next(batches)
     x0 = first_batch[0] if isinstance(first_batch, (tuple, list)) else first_batch
     cap_shapes = jax.eval_shape(_probe, params, state, x0)
-    obs = {k: make_observer(observer, **observer_kwargs) for k in cap_shapes}
+    keys = [
+        k for k in cap_shapes if include_output_stats or ":out" not in k
+    ]
+    obs = {k: make_observer(observer, **observer_kwargs) for k in keys}
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(obs, x):
@@ -116,7 +121,8 @@ def quantize(
 
     params, state = fold_model_jit(params, state)
     act_qparams = calibrate(
-        apply_fn, params, state, calibration_batches, observer=observer
+        apply_fn, params, state, calibration_batches, observer=observer,
+        include_output_stats=pre_add_quant,
     )
     policy_items = tuple(sorted(layer_policy.items())) if layer_policy else None
     return _bake(

@@ -226,3 +226,47 @@ class TestPreAddQuant:
         tree, meta = ckpt.load_artifact(path)
         b, _ = resnet.apply(tree["params"], tree["state"], batch)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+class TestHandoffInvariants:
+    @pytest.mark.parametrize("depth", [18, 50])
+    def test_downsample_aq_equals_conv1_aq(self, batch, depth):
+        """Load-bearing invariant of the block-entry int8 fast path
+        (quantnet/models/resnet.py): a statically-quantized downsample conv
+        consumes the raw int8 block input, which is quantized in conv1's
+        domain — valid because both layers observe the identical tensor
+        during calibration. Assert bit-equality for every downsample block."""
+        params, state = resnet.init(
+            jax.random.PRNGKey(0), num_classes=100, depth=depth
+        )
+        qp, _ = static.quantize(params, state, resnet.apply, [(batch, None)])
+        checked = 0
+        for si in range(1, 5):
+            for bp in qp[f"layer{si}"].values():
+                if "downsample" not in bp:
+                    continue
+                a, d = bp["conv1"]["aq"], bp["downsample"]["aq"]
+                np.testing.assert_array_equal(np.asarray(a.scale), np.asarray(d.scale))
+                np.testing.assert_array_equal(
+                    np.asarray(a.zero_point), np.asarray(d.zero_point)
+                )
+                checked += 1
+        assert checked >= 3
+
+    def test_fp32_downsample_policy_island(self, batch):
+        """A fp32-policy downsample inside a static net must not receive raw
+        int8 (regression test for the KeyError found in review): it takes the
+        dequantized form and the forward stays close to fp32."""
+        params, state = resnet.init(
+            jax.random.PRNGKey(0), num_classes=100, depth=18
+        )
+        ref, _ = resnet.apply(params, state, batch)
+        qp, qs = static.quantize(
+            params, state, resnet.apply, [(batch, None)],
+            layer_policy={"downsample": "fp32"},
+        )
+        from quantnet.core.types import QTensor
+        assert not isinstance(qp["layer2"]["0"]["downsample"]["w"], QTensor)
+        logits, _ = resnet.apply(qp, qs, batch)
+        scale = float(jnp.std(ref))
+        assert float(jnp.mean(jnp.abs(logits - ref))) < 0.35 * scale
