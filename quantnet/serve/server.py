@@ -144,6 +144,18 @@ class InferenceEngine:
                     pending.append(self._queue.get(timeout=0.05))
                 except queue.Empty:
                     continue
+            # Eager drain: everything already queued joins this batch
+            # regardless of the deadline — requests that piled up during the
+            # previous device round trip must not be served one by one
+            # (found by scripts/tpu_serve_bench.py: without this, a loaded
+            # engine degraded to batch size 1 at 100% occupancy).
+            while len(pending) < self.buckets[-1]:
+                try:
+                    pending.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            # Still below the largest bucket: wait out the head request's
+            # coalescing window for stragglers.
             deadline = pending[0][2] + self.max_wait_s
             while len(pending) < self.buckets[-1]:
                 remaining = deadline - time.perf_counter()

@@ -1,0 +1,88 @@
+"""Continuous-batching serving load test on the real chip.
+
+Drives quantnet/serve/server.py::InferenceEngine with concurrent
+single-image submitters (static-INT8 SimpleConvNet artifact) and reports
+sustained request throughput, latency percentiles, and batch occupancy.
+
+Note on absolute numbers: each dispatched batch pays a host<->device round
+trip; on a tunnel-attached device that round trip dominates single-request
+latency, so these figures are a lower bound on what a locally-attached chip
+serves (the chip-side cost per batch is the bench.py chain-differenced
+number).
+"""
+from __future__ import annotations
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+T0 = time.time()
+
+
+def log(m):
+    print(f"[+{time.time() - T0:.0f}s] {m}", flush=True)
+
+
+def main():
+    from quantnet.models import convnet
+    from quantnet.quantize import static
+    from quantnet.serve.server import InferenceEngine
+
+    rng = jax.random.PRNGKey(0)
+    params, state = convnet.init(rng)
+    calib = jax.random.normal(jax.random.PRNGKey(1), (256, 32, 32, 3), jnp.float32)
+    qp, qs = static.quantize(
+        params, state, convnet.apply, [(calib, None)], skip_first_layer=True
+    )
+    jax.block_until_ready(qp)
+    log("quantized; starting engine (precompiling buckets)")
+
+    with InferenceEngine(
+        convnet.apply, qp, qs, buckets=(1, 8, 32, 128, 512), max_wait_ms=2.0
+    ) as eng:
+        log("warm; load test")
+        # Open-loop-ish load: each client keeps a window of in-flight async
+        # submissions (closed-loop predict() would cap throughput at
+        # n_clients / round-trip regardless of engine batching).
+        n_threads, per_thread, window = 8, 2000, 64
+        lat = []
+        lock = threading.Lock()
+        img = np.random.default_rng(0).normal(size=(32, 32, 3)).astype(np.float32)
+
+        def client():
+            mine = []
+            inflight = []
+            for _ in range(per_thread):
+                inflight.append((time.perf_counter(), eng.submit(img)))
+                if len(inflight) >= window:
+                    t0, fut = inflight.pop(0)
+                    fut.result(timeout=60)
+                    mine.append((time.perf_counter() - t0) * 1e3)
+            for t0, fut in inflight:
+                fut.result(timeout=60)
+                mine.append((time.perf_counter() - t0) * 1e3)
+            with lock:
+                lat.extend(mine)
+
+        ts = [threading.Thread(target=client) for _ in range(n_threads)]
+        t_start = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = time.perf_counter() - t_start
+        lat.sort()
+        n = len(lat)
+        log(
+            f"served {n} requests in {wall:.2f}s -> {n / wall:,.0f} req/s | "
+            f"p50 {lat[n // 2]:.1f} ms  p95 {lat[int(n * 0.95)]:.1f} ms  "
+            f"p99 {lat[int(n * 0.99)]:.1f} ms | "
+            f"occupancy {eng.occupancy():.2f} over {eng.stats['batches']:.0f} batches"
+        )
+
+
+if __name__ == "__main__":
+    main()
