@@ -93,3 +93,28 @@ def test_mesh_sharded_serving(small_model):
         futs = [eng.submit(img) for img in imgs]
         results = [f.result(timeout=120) for f in futs]
     np.testing.assert_allclose(np.stack(results), np.asarray(direct), rtol=2e-4, atol=2e-5)
+
+
+def test_eager_drain_after_slow_batch(small_model):
+    """Regression (scripts/tpu_serve_bench.py finding): requests that queue
+    up while a batch is in flight must be coalesced into the NEXT batch even
+    though their max_wait deadline already passed — without the eager drain
+    the engine served them one at a time (batch size 1, 48x slower under
+    load on the real chip)."""
+    apply_fn, params, state = small_model
+    rng = np.random.default_rng(2)
+    imgs = rng.normal(size=(48, 32, 32, 3)).astype(np.float32)
+    with InferenceEngine(
+        apply_fn, params, state, buckets=(1, 4, 64), max_wait_ms=0.0,
+        precompile=False,
+    ) as eng:
+        # max_wait_ms=0: every request's deadline expires instantly, so only
+        # the eager drain can ever form multi-request batches.
+        futs = [eng.submit(img) for img in imgs]
+        for f in futs:
+            f.result(timeout=120)
+        stats = dict(eng.stats)
+    assert stats["requests"] == 48
+    # Without eager drain this is exactly 48; with it, the first (compile)
+    # batch is tiny and everything queued behind it lands in a few batches.
+    assert stats["batches"] <= 10, stats
