@@ -98,3 +98,17 @@ def test_config_file_seeds_defaults(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "best accuracy" in out
     assert os.path.exists(str(tmp_path / "s" / "fp32.json"))
+
+
+def test_scaling_command(workdir, capsys):
+    save, results, common = workdir
+    main([
+        "scaling", *common, "--per-device-batch", "8", "--iters", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "devices:" in out and "efficiency" in out
+    with open(os.path.join(results, "scaling.json")) as f:
+        res = json.load(f)
+    assert "throughput" in res and "efficiency" in res
+    # 8 virtual devices in conftest -> sweep includes n=1 and n=8
+    assert "1" in res["throughput"] and "8" in res["throughput"]
