@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from quantnet.core import config as cfg
 from quantnet.core.quantize import (
-    SYM_MAX,
     dynamic_quantize,
     maybe_requantize,
     quantize_affine,
