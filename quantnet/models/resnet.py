@@ -273,15 +273,16 @@ def apply(
 
                 ds = bp["downsample"]
                 # A statically-quantized downsample consumes the raw int8
-                # directly: downsample.aq == conv1.aq for every tree
-                # static.quantize produces (identical capture tensor,
-                # identical observer — asserted by
-                # tests/test_resnet.py::test_downsample_aq_equals_conv1_aq),
-                # so the int8 IS in its domain. Any other precision (a
-                # fp32/bf16/weight-only policy island) takes the dequantized
-                # form instead — feeding it raw int8 would be wrong (and a
-                # measured 1.5 ms loss when "fixed" by always dequantizing:
-                # the f32 form materializes; docs/PERF.md).
+                # directly. This fast path is ONLY valid when downsample.aq
+                # == conv1.aq — true for every tree static.quantize produces
+                # (identical capture tensor, identical observer) and enforced
+                # at bake time by static._validate_sibling_domains plus
+                # tests/test_resnet.py::test_downsample_aq_equals_conv1_aq.
+                # Any other precision (a fp32/bf16/weight-only policy island)
+                # takes the dequantized form instead — feeding it raw int8
+                # would be wrong (and a measured 1.5 ms loss when "fixed" by
+                # always dequantizing: the f32 form materializes;
+                # docs/PERF.md).
                 ds_in = x if (
                     x.dtype == jnp.int8 and isinstance(ds.get("aq"), ActQuant)
                 ) else identity

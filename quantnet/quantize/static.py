@@ -125,10 +125,52 @@ def quantize(
         include_output_stats=pre_add_quant,
     )
     policy_items = tuple(sorted(layer_policy.items())) if layer_policy else None
-    return _bake(
+    qparams, qstate = _bake(
         params, state, act_qparams, per_channel, skip_last_layer,
         skip_first_layer, pre_add_quant, policy_items, last_layer_name,
     )
+    _validate_sibling_domains(qparams)
+    return qparams, qstate
+
+
+def _validate_sibling_domains(qparams: dict) -> None:
+    """Enforce the invariant the ResNet raw-int8 downsample fast path relies
+    on (quantnet/models/resnet.py, `ds_in = x`): whenever a block has both a
+    statically-quantized `conv1` and a statically-quantized `downsample`,
+    their input ActQuant domains must be identical — both observers saw the
+    same tensor during calibration, so this always holds for trees built
+    here, but a hand-edited or externally-calibrated tree that violates it
+    would silently misinterpret conv1-domain int8 in downsample's domain.
+
+    One host sync per quantize() call (never in the hot loop)."""
+    import numpy as np
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return
+        c1, ds = node.get("conv1"), node.get("downsample")
+        if (
+            isinstance(c1, dict)
+            and isinstance(ds, dict)
+            and isinstance(c1.get("aq"), ActQuant)
+            and isinstance(ds.get("aq"), ActQuant)
+        ):
+            ok = np.array_equal(
+                np.asarray(c1["aq"].scale), np.asarray(ds["aq"].scale)
+            ) and np.array_equal(
+                np.asarray(c1["aq"].zero_point), np.asarray(ds["aq"].zero_point)
+            )
+            if not ok:
+                raise ValueError(
+                    "static PTQ invariant violated: downsample input ActQuant "
+                    "differs from conv1's within one block — the raw-int8 "
+                    "downsample handoff requires identical domains"
+                )
+        for v in node.values():
+            if isinstance(v, dict) and "w" not in v:
+                walk(v)
+
+    walk(qparams)
 
 
 @partial(
@@ -146,10 +188,19 @@ def _bake(params, state, act_qparams, per_channel, skip_last_layer,
 
     def q(path: str, layer: dict) -> dict:
         action = resolve_policy(path, "static", layer_policy)
-        if (
-            action == "fp32"
-            or (skip_last_layer and path == last)
-            or (skip_first_layer and path == first)
+        # An explicit per-layer policy entry (exact path or leaf name) wins
+        # over the skip_first/last flags — a user writing
+        # layer_policy={'conv1': 'static'} means it, even with
+        # skip_first_layer=True (most-specific-match, like resolve_policy).
+        explicit = bool(layer_policy) and (
+            path in layer_policy or path.rsplit("/", 1)[-1] in layer_policy
+        )
+        if action == "fp32" or (
+            not explicit
+            and (
+                (skip_last_layer and path == last)
+                or (skip_first_layer and path == first)
+            )
         ):
             return dict(layer)
         out = dict(layer)

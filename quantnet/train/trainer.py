@@ -53,10 +53,25 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
-def augment_batch(rng, images):
-    """Random crop (4px reflect pad) + horizontal flip, on device, vectorized."""
+def augment_batch(rng, images, *, rotation_deg: float = 0.0, color_jitter: float = 0.0):
+    """On-device train-transform, vectorized over the batch.
+
+    Always: random crop (4px reflect pad) + horizontal flip. Flag-gated
+    parity with the rest of the reference transform
+    (utils/dataset_manager.py:31-38):
+      - rotation_deg > 0: per-sample random rotation in
+        [-rotation_deg, +rotation_deg] (reference RandomRotation(15)),
+        bilinear resample, out-of-frame pixels fill with 0 — which in this
+        pipeline's normalized space is the dataset mean color;
+      - color_jitter > 0: brightness/saturation/contrast each scaled by a
+        per-sample factor in [1-j, 1+j] (reference ColorJitter(.2,.2,.2)).
+        Applied in normalized space — for contrast/saturation (affine about a
+        mean) this matches the pre-normalization op up to the normalization
+        affine; for brightness it additionally shifts by (b-1)*mean/std,
+        a faithful-strength approximation rather than bit-parity with PIL.
+    """
     n, h, w, c = images.shape
-    k1, k2, k3 = jax.random.split(rng, 3)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
     padded = jnp.pad(images, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
     ys = jax.random.randint(k1, (n,), 0, 9)
     xs = jax.random.randint(k2, (n,), 0, 9)
@@ -66,7 +81,48 @@ def augment_batch(rng, images):
 
     images = jax.vmap(crop)(padded, ys, xs)
     flip = jax.random.bernoulli(k3, 0.5, (n,))
-    return jnp.where(flip[:, None, None, None], images[:, :, ::-1, :], images)
+    images = jnp.where(flip[:, None, None, None], images[:, :, ::-1, :], images)
+    if rotation_deg:
+        rad = jnp.deg2rad(
+            jax.random.uniform(k4, (n,), minval=-rotation_deg, maxval=rotation_deg)
+        )
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        yy, xx = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.float32),
+            jnp.arange(w, dtype=jnp.float32),
+            indexing="ij",
+        )
+
+        def rot(img, a):
+            # inverse mapping: sample the source at the back-rotated grid
+            cos_a, sin_a = jnp.cos(a), jnp.sin(a)
+            sy = cos_a * (yy - cy) - sin_a * (xx - cx) + cy
+            sx = sin_a * (yy - cy) + cos_a * (xx - cx) + cx
+            return jax.vmap(
+                lambda ch: jax.scipy.ndimage.map_coordinates(
+                    ch, [sy, sx], order=1, mode="constant", cval=0.0
+                ),
+                in_axes=-1,
+                out_axes=-1,
+            )(img)
+
+        images = jax.vmap(rot)(images, rad)
+    if color_jitter:
+        kb, ks, kc = jax.random.split(k5, 3)
+        j = color_jitter
+        b = jax.random.uniform(kb, (n, 1, 1, 1), minval=1 - j, maxval=1 + j)
+        s = jax.random.uniform(ks, (n, 1, 1, 1), minval=1 - j, maxval=1 + j)
+        cf = jax.random.uniform(kc, (n, 1, 1, 1), minval=1 - j, maxval=1 + j)
+        images = images * b  # brightness
+        if c == 3:
+            wgt = jnp.asarray([0.299, 0.587, 0.114], images.dtype)
+            lum = jnp.sum(images * wgt, axis=-1, keepdims=True)
+        else:
+            lum = jnp.mean(images, axis=-1, keepdims=True)
+        images = lum + (images - lum) * s  # saturation
+        mean = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
+        images = mean + (images - mean) * cf  # contrast
+    return images
 
 
 def cross_entropy(logits, labels, label_smoothing: float = 0.0):
@@ -77,7 +133,15 @@ def cross_entropy(logits, labels, label_smoothing: float = 0.0):
     return -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1))
 
 
-def make_train_step(apply_fn: Callable, tx, label_smoothing: float = 0.0, augment: bool = True):
+def make_train_step(
+    apply_fn: Callable,
+    tx,
+    label_smoothing: float = 0.0,
+    augment: bool = True,
+    *,
+    rotation_deg: float = 0.0,
+    color_jitter: float = 0.0,
+):
     """Returns jitted step((params, state, opt_state), rng, images, labels)."""
 
     def loss_fn(params, state, rng, images, labels):
@@ -91,7 +155,10 @@ def make_train_step(apply_fn: Callable, tx, label_smoothing: float = 0.0, augmen
         params, state, opt_state = carry
         r_aug, r_drop = jax.random.split(rng)
         if augment:
-            images = augment_batch(r_aug, images)
+            images = augment_batch(
+                r_aug, images,
+                rotation_deg=rotation_deg, color_jitter=color_jitter,
+            )
         (loss, (new_state, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, state, r_drop, images, labels
         )
@@ -104,11 +171,14 @@ def make_train_step(apply_fn: Callable, tx, label_smoothing: float = 0.0, augmen
 
 def make_eval_step(apply_fn: Callable):
     @jax.jit
-    def step(params, state, images, labels):
+    def step(params, state, images, labels, valid):
         logits, _ = apply_fn(params, state, images, train=False)
-        loss = cross_entropy(logits, labels)
-        top1 = jnp.sum(jnp.argmax(logits, -1) == labels)
-        return loss * labels.shape[0], top1
+        onehot = jax.nn.one_hot(labels, logits.shape[-1])
+        per_example = -jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1)
+        vf = valid.astype(jnp.float32)
+        loss_sum = jnp.sum(per_example * vf)
+        top1 = jnp.sum((jnp.argmax(logits, -1) == labels) * vf)
+        return loss_sum, top1
 
     return step
 
@@ -144,7 +214,9 @@ class Trainer:
         self.opt_state = self.tx.init(params)
         self.carry = (params, state, self.opt_state)
         self.train_step = make_train_step(
-            apply_fn, self.tx, cfg.label_smoothing, augment
+            apply_fn, self.tx, cfg.label_smoothing, augment,
+            rotation_deg=getattr(cfg, "aug_rotation_deg", 0.0),
+            color_jitter=getattr(cfg, "aug_color_jitter", 0.0),
         )
         self.eval_step = make_eval_step(apply_fn)
         self.best_accuracy = 0.0
@@ -160,16 +232,25 @@ class Trainer:
         return self.carry[1]
 
     def evaluate(self) -> Tuple[float, float]:
-        """Returns (test_loss, top1 accuracy) over the full test split."""
+        """Returns (test_loss, top1 accuracy) over the full test split.
+
+        Tail batches are padded to the full batch size (pad_remainder) with a
+        validity mask, so a non-divisible test split evaluates with ONE
+        compiled program instead of recompiling on the tail shape."""
         params, state, _ = self.carry
-        total_loss, total_top1, total_n = 0.0, 0, 0
+        total_loss, total_top1 = 0.0, 0.0
+        n = len(self.test_data)
+        seen = 0
         bs = self.cfg.batch_size
-        for images, labels in self.test_data.batches(bs, drop_remainder=False):
-            loss, top1 = self.eval_step(params, state, images, labels)
+        for images, labels in self.test_data.batches(bs, pad_remainder=True):
+            bsz = images.shape[0]
+            n_valid = min(bsz, n - seen)
+            valid = (np.arange(bsz) < n_valid).astype(np.float32)
+            loss, top1 = self.eval_step(params, state, images, labels, valid)
             total_loss += float(loss)
-            total_top1 += int(top1)
-            total_n += len(labels)
-        return total_loss / max(total_n, 1), total_top1 / max(total_n, 1)
+            total_top1 += float(top1)
+            seen += n_valid
+        return total_loss / max(seen, 1), total_top1 / max(seen, 1)
 
     def resume(self, path: str) -> int:
         """Restore {params, state, opt_state, epoch, best_accuracy} from an
