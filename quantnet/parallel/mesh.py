@@ -80,10 +80,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch onto the mesh, sharded along `data`."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, batch_sharding(mesh)), batch
-    )
+    """Place a host batch onto the mesh, sharded along `data`.
+
+    Single-process: `batch` is the global batch; device_put splits it across
+    the mesh's data axis. Multi-process: `batch` is this process's LOCAL slice
+    (from Dataset.batches(process_shard=True)) and the global array is
+    assembled with jax.make_array_from_process_local_data — a device_put of a
+    host-global batch would be wrong on a multi-host pod slice, where each
+    process only holds (and may only address) its own shard."""
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+
+        def put(x):
+            global_shape = (x.shape[0] * jax.process_count(),) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+        return jax.tree_util.tree_map(put, batch)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def _spec_for_param(path_names: tuple, leaf, model_parallel: bool) -> P:

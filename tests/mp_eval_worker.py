@@ -1,0 +1,109 @@
+"""Worker for the fake-multi-host test (tests/test_multiprocess.py).
+
+Spawned twice (process_id 0 and 1) with a shared coordinator port. Each
+process owns 2 virtual CPU devices; together they form a 4-device
+data-parallel mesh spanning 2 processes — the smallest faithful model of a
+2-host pod slice (per-process addressable devices, gloo cross-process
+collectives, global arrays assembled with
+jax.make_array_from_process_local_data).
+
+Asserts, inside the distributed world:
+  - Dataset.batches(process_shard=True) + parallel.mesh.shard_batch produce a
+    global batch whose DP eval metrics equal a single-device evaluation of
+    the same data (the multi-host batch-placement correctness VERDICT.md
+    round-1 flagged);
+  - one DP train step runs with a finite loss equal to the single-device
+    step's loss (cross-process gradient psum correctness).
+
+Prints "MP_OK <top1> <n>" on success (checked by the parent test).
+"""
+import os
+import sys
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid
+)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from quantnet.core.config import TrainConfig  # noqa: E402
+from quantnet.data.datasets import make_synthetic  # noqa: E402
+from quantnet.models import convnet  # noqa: E402
+from quantnet.parallel import mesh as meshlib  # noqa: E402
+from quantnet.parallel.steps import (  # noqa: E402
+    make_parallel_eval_step,
+    make_parallel_train_step,
+)
+from quantnet.train.trainer import make_optimizer, make_train_step  # noqa: E402
+
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 2 * nproc, jax.devices()
+
+params, state = convnet.init(jax.random.PRNGKey(0))
+_, test = make_synthetic(10, 32, 64, 64, name="mp")
+
+mesh = meshlib.make_mesh(-1, 1)
+GLOBAL_BS = 16
+
+with mesh:
+    p = meshlib.shard_params(mesh, params)
+    s = meshlib.shard_params(mesh, state)
+    eval_step = make_parallel_eval_step(convnet.apply, mesh, 10)
+    top1 = n = 0
+    for images, labels in test.batches(
+        GLOBAL_BS, process_shard=True, drop_remainder=True
+    ):
+        assert images.shape[0] == GLOBAL_BS // nproc, images.shape
+        im, lb = meshlib.shard_batch(mesh, (images, labels))
+        assert im.shape[0] == GLOBAL_BS, im.shape  # global array
+        t1, _t5, bn = eval_step(p, s, im, lb)
+        top1 += int(t1)
+        n += int(bn)
+
+# Ground truth on THIS process, single device, whole split.
+logits, _ = jax.jit(lambda p, s, x: convnet.apply(p, s, x))(
+    params, state, test.images
+)
+want_top1 = int(jnp.sum(jnp.argmax(logits, -1) == test.labels))
+assert n == len(test), (n, len(test))
+assert top1 == want_top1, (top1, want_top1)
+
+# One DP train step: loss must match the single-device step bit-for-bit-ish.
+cfg = TrainConfig(epochs=1, batch_size=GLOBAL_BS)
+tx, _ = make_optimizer(cfg, 4)
+single = make_train_step(convnet.apply, tx, augment=False)
+it = test.batches(GLOBAL_BS, process_shard=True, drop_remainder=True)
+local_images, local_labels = next(it)
+# Every process holds the full synthetic split, so reconstruct the global
+# batch for the single-device reference from the known contiguous layout.
+git = test.batches(GLOBAL_BS, drop_remainder=True)
+global_images, global_labels = next(git)
+cp = jax.tree_util.tree_map(jnp.copy, params)
+cs = jax.tree_util.tree_map(jnp.copy, state)
+(_, _, _), sloss, _ = single(
+    (cp, cs, tx.init(cp)), jax.random.PRNGKey(7), global_images, global_labels
+)
+
+with mesh:
+    pstep = make_parallel_train_step(convnet.apply, tx, mesh, augment=False)
+    p2 = meshlib.shard_params(mesh, jax.tree_util.tree_map(jnp.copy, params))
+    s2 = meshlib.shard_params(mesh, jax.tree_util.tree_map(jnp.copy, state))
+    im, lb = meshlib.shard_batch(mesh, (local_images, local_labels))
+    (_, _, _), ploss, _ = pstep(
+        (p2, s2, tx.init(p2)), jax.random.PRNGKey(7), im, lb
+    )
+
+assert np.isfinite(float(ploss))
+assert abs(float(sloss) - float(ploss)) < 1e-4, (float(sloss), float(ploss))
+
+print(f"MP_OK {top1} {n}", flush=True)
