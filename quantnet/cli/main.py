@@ -79,6 +79,7 @@ def _load_data(args):
             image_size=args.image_size,
             synthetic_train_size=args.synthetic_train_size,
             synthetic_test_size=args.synthetic_test_size,
+            num_classes=args.num_classes,
         )
         return train, test, None
     if dataset == "synthetic":
@@ -144,6 +145,8 @@ def cmd_train(args):
         optimizer=args.optimizer,
         seed=args.seed,
         save_dir=args.save_dir,
+        aug_rotation_deg=getattr(args, "aug_rotation", 0.0),
+        aug_color_jitter=getattr(args, "aug_color_jitter", 0.0),
     )
     trainer = Trainer(apply_fn, params, state, cfg, train_data, test_data)
     params, state = trainer.train(
@@ -420,6 +423,12 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["sgd_cosine", "adam_plateau"])
     sp.add_argument("--resume", action="store_true",
                     help="continue from the best checkpoint in --save-dir")
+    sp.add_argument("--aug-rotation", type=float, default=0.0,
+                    help="random rotation range in degrees (reference "
+                         "RandomRotation(15)); 0 disables")
+    sp.add_argument("--aug-color-jitter", type=float, default=0.0,
+                    help="brightness/contrast/saturation jitter strength "
+                         "(reference ColorJitter(.2,.2,.2)); 0 disables")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("quantize")

@@ -103,6 +103,12 @@ class TrainConfig:
     seed: int = 0
     save_dir: str = "./saved_models"
     log_every: int = 50
+    # Reference train-transform parity (utils/dataset_manager.py:31-38:
+    # RandomRotation(15) + ColorJitter(.2,.2,.2)), flag-gated — the base
+    # augmentation is random-crop+flip; these add the PIL-only parts of the
+    # reference transform, executed on device inside the jitted train step.
+    aug_rotation_deg: float = 0.0
+    aug_color_jitter: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -28,6 +28,8 @@ def make_parallel_train_step(
     *,
     augment: bool = True,
     label_smoothing: float = 0.0,
+    rotation_deg: float = 0.0,
+    color_jitter: float = 0.0,
 ):
     """Returns step((params, state, opt_state), rng, images, labels) with
     images/labels sharded on `data` and the carry replicated (or model-sharded
@@ -51,7 +53,10 @@ def make_parallel_train_step(
         params, state, opt_state = carry
         r_aug, r_drop = jax.random.split(rng)
         if augment:
-            images = augment_batch(r_aug, images)
+            images = augment_batch(
+                r_aug, images,
+                rotation_deg=rotation_deg, color_jitter=color_jitter,
+            )
         (loss, (new_state, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, state, r_drop, images, labels)

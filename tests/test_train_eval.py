@@ -84,6 +84,37 @@ class TestTrainStep:
         assert a.shape == x.shape
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_augment_rotation_color_jitter(self):
+        """Flag-gated reference-transform parity (RandomRotation(15) +
+        ColorJitter(.2,.2,.2), utils/dataset_manager.py:31-38): on, the
+        output differs from the crop+flip-only path; shapes/determinism
+        hold; zero-strength flags reproduce the base path exactly."""
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+        base = augment_batch(jax.random.PRNGKey(1), x)
+        off = augment_batch(jax.random.PRNGKey(1), x, rotation_deg=0.0, color_jitter=0.0)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(off))
+        full = augment_batch(
+            jax.random.PRNGKey(1), x, rotation_deg=15.0, color_jitter=0.2
+        )
+        full2 = augment_batch(
+            jax.random.PRNGKey(1), x, rotation_deg=15.0, color_jitter=0.2
+        )
+        assert full.shape == x.shape
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(full2))
+        assert float(jnp.max(jnp.abs(full - base))) > 1e-3
+        assert bool(jnp.all(jnp.isfinite(full)))
+
+    def test_train_step_with_full_augmentation(self, tiny_data, model):
+        train, test = tiny_data
+        params, state = model
+        cfg = TrainConfig(
+            epochs=1, batch_size=64, lr=0.05, seed=0,
+            aug_rotation_deg=15.0, aug_color_jitter=0.2,
+        )
+        tr = Trainer(convnet.apply, params, state, cfg, train, test, log=None)
+        tr.train()
+        assert np.isfinite(tr.history[0]["train_loss"])
+
     def test_cross_entropy_matches_manual(self):
         logits = jnp.array([[2.0, 0.0, -1.0]])
         labels = jnp.array([0])
