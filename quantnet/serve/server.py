@@ -16,10 +16,18 @@ Design notes:
   - the dispatcher never waits longer than max_wait_ms once a request is
     pending, and drains eagerly when a full bucket is queued;
   - padding rides the same program (pad rows are computed and discarded) —
-    at bucket occupancy >= 50% this still beats waiting for a full batch.
+    at bucket occupancy >= 50% this still beats waiting for a full batch;
+  - dispatch and completion are decoupled (double buffering): JAX dispatch
+    is asynchronous, so the dispatcher enqueues batch N's device computation
+    and immediately assembles batch N+1 while a completion thread blocks on
+    batch N's result fetch — the device never idles waiting for host-side
+    batch assembly, and host assembly never waits for the device round trip
+    (which dominates on a tunnel-attached chip). In-flight depth is bounded
+    at 2 for backpressure.
 """
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
@@ -87,10 +95,18 @@ class InferenceEngine:
             "batches": 0,
             "padded_rows": 0,
         }
+        # Per-request end-to-end latencies (submit -> result ready), seconds;
+        # bounded window so a long-lived engine doesn't grow unboundedly.
+        self._latencies: "collections.deque[float]" = collections.deque(maxlen=16384)
+        # Double buffer: dispatched-but-unfetched batches. maxsize=2 bounds
+        # in-flight device work (backpressure on the dispatcher).
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
         if precompile:
             self.warmup()
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._thread.start()
+        self._completion = threading.Thread(target=self._completion_loop, daemon=True)
+        self._completion.start()
 
     # -- public API -------------------------------------------------------
 
@@ -120,6 +136,33 @@ class InferenceEngine:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        # Unblock and drain the completion thread after the dispatcher quit
+        # (anything still in flight resolves normally first).
+        try:
+            self._inflight.put(None, timeout=10)
+        except queue.Full:
+            pass
+        self._completion.join(timeout=10)
+
+    def latency_stats(self) -> Dict[str, float]:
+        """End-to-end per-request latency percentiles (ms) over the most
+        recent window (submit -> logits available on host)."""
+        with self._stats_lock:
+            lat = sorted(self._latencies)
+        if not lat:
+            return {}
+        n = len(lat)
+
+        def pct(p: float) -> float:
+            return lat[min(int(p * n), n - 1)] * 1e3
+
+        return {
+            "n": n,
+            "mean_ms": sum(lat) / n * 1e3,
+            "p50_ms": pct(0.50),
+            "p95_ms": pct(0.95),
+            "p99_ms": pct(0.99),
+        }
 
     def __enter__(self):
         return self
@@ -170,6 +213,10 @@ class InferenceEngine:
             self._run_batch(batch)
 
     def _run_batch(self, batch):
+        """Assemble + dispatch one batch, then hand the in-flight device
+        result to the completion thread. Returns as soon as the dispatch is
+        enqueued (JAX async dispatch) — the dispatcher immediately starts
+        coalescing the next batch while the device computes this one."""
         n = len(batch)
         b = self._pick_bucket(n)
         x = np.zeros((b, *self.image_shape), np.float32)
@@ -181,17 +228,35 @@ class InferenceEngine:
                 if self._x_sharding is not None
                 else jnp.asarray(x)
             )
-            logits = np.asarray(self._fwd(self.params, self.state, xd))
+            logits_dev = self._fwd(self.params, self.state, xd)
         except Exception as e:  # propagate to every waiter, keep serving
             for _, fut, _ in batch:
                 fut.set_exception(e)
             return
-        for i, (_, fut, _) in enumerate(batch):
-            fut.set_result(logits[i])
-        with self._stats_lock:
-            self.stats["requests"] += n
-            self.stats["batches"] += 1
-            self.stats["padded_rows"] += b - n
+        # Blocks only when 2 batches are already in flight (backpressure).
+        self._inflight.put((logits_dev, batch, b))
+
+    def _completion_loop(self):
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            logits_dev, batch, b = item
+            try:
+                logits = np.asarray(logits_dev)  # blocks on the device fetch
+            except Exception as e:
+                for _, fut, _ in batch:
+                    fut.set_exception(e)
+                continue
+            done = time.perf_counter()
+            for i, (_, fut, _) in enumerate(batch):
+                fut.set_result(logits[i])
+            with self._stats_lock:
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+                self.stats["padded_rows"] += b - len(batch)
+                for _, _, t_submit in batch:
+                    self._latencies.append(done - t_submit)
 
     # -- introspection ------------------------------------------------------
 

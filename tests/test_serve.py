@@ -118,3 +118,43 @@ def test_eager_drain_after_slow_batch(small_model):
     # Without eager drain this is exactly 48; with it, the first (compile)
     # batch is tiny and everything queued behind it lands in a few batches.
     assert stats["batches"] <= 10, stats
+
+
+def test_latency_stats_populated(small_model):
+    """Per-request latency percentiles (round-2 serving observability):
+    recorded for every completed request, sane ordering of percentiles."""
+    apply_fn, params, state = small_model
+    rng = np.random.default_rng(1)
+    with InferenceEngine(
+        apply_fn, params, state, buckets=(1, 8), precompile=False
+    ) as eng:
+        futs = [
+            eng.submit(rng.normal(size=(32, 32, 3)).astype(np.float32))
+            for _ in range(12)
+        ]
+        for f in futs:
+            f.result(timeout=120)
+        stats = eng.latency_stats()
+    assert stats["n"] == 12
+    assert 0 < stats["p50_ms"] <= stats["p95_ms"] <= stats["p99_ms"]
+    assert stats["mean_ms"] > 0
+
+
+def test_dispatch_overlaps_device_fetch(small_model):
+    """Double buffering: the dispatcher must keep batching while a previous
+    batch's result fetch is in flight — with many queued requests the engine
+    coalesces them instead of serving strictly one-at-a-time."""
+    apply_fn, params, state = small_model
+    rng = np.random.default_rng(2)
+    with InferenceEngine(
+        apply_fn, params, state, buckets=(1, 16), max_wait_ms=0.0,
+        precompile=True,
+    ) as eng:
+        futs = [
+            eng.submit(rng.normal(size=(32, 32, 3)).astype(np.float32))
+            for _ in range(64)
+        ]
+        for f in futs:
+            f.result(timeout=120)
+        batches = eng.stats["batches"]
+    assert batches < 64, f"no coalescing: {batches} batches for 64 requests"
