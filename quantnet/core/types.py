@@ -99,26 +99,39 @@ class ActQuant:
 class DynamicActQuant:
     """Marker leaf: quantize this layer's input per batch (dynamic PTQ).
 
-    Registered as an empty pytree node so it can live inside a params tree and
-    survive jit tracing; carries no arrays. The layer op computes
+    Registered as a pytree node with no array children so it can live inside
+    a params tree and survive jit tracing. The layer op computes
     absmax -> scale -> int8 on the fly, fused by XLA into the surrounding graph
     (reference behavior: FBGEMM dynamic linear, SURVEY.md section 3.3).
+
+    handoff: optional narrow inter-layer dtype name ("bfloat16"). Dynamic
+    scales are data-dependent, so the static scheme's int8 tensor handoff
+    can't apply — but the producer can still write its output at 2 bytes/elem
+    instead of 4 before the consumer's absmax+requantize, halving the
+    activation HBM traffic that makes naive dynamic PTQ slower than fp32 on
+    TPU (docs/PERF.md round-1 scheme sweep). Static metadata (pytree aux), so
+    jit re-traces when it changes.
     """
 
+    def __init__(self, handoff: Optional[str] = None):
+        self.handoff = handoff
+
     def __repr__(self):
-        return "DynamicActQuant()"
+        return f"DynamicActQuant(handoff={self.handoff!r})"
 
     def __eq__(self, other):
-        return isinstance(other, DynamicActQuant)
+        return (
+            isinstance(other, DynamicActQuant) and self.handoff == other.handoff
+        )
 
     def __hash__(self):
-        return hash(DynamicActQuant)
+        return hash((DynamicActQuant, self.handoff))
 
 
 jax.tree_util.register_pytree_node(
     DynamicActQuant,
-    lambda node: ((), None),
-    lambda aux, children: DynamicActQuant(),
+    lambda node: ((), node.handoff),
+    lambda aux, children: DynamicActQuant(aux),
 )
 
 

@@ -191,7 +191,13 @@ def conv2d(
         y = acc.astype(out_dtype) * (x_scale * w_scale)
         if b is not None:
             y = y + b
-        return maybe_requantize(_apply_act(y, activation), out_quant)
+        y = _apply_act(y, activation)
+        if aq.handoff is not None and out_quant is None:
+            # Narrow inter-layer handoff (see DynamicActQuant.handoff): the
+            # consumer re-quantizes per batch anyway, so writing bf16 costs
+            # ~one ulp of the *quantization* scale and halves HBM traffic.
+            y = y.astype(aq.handoff)
+        return maybe_requantize(y, out_quant)
 
     if isinstance(aq, ActQuant):
         # int8 input = already in this layer's aq domain (producer chained)

@@ -127,7 +127,12 @@ def linear(
         y = acc.astype(out_dtype) * (x_scale * w_scale)
         if b is not None:
             y = y + b
-        return maybe_requantize(_apply_act(y, activation), out_quant)
+        y = _apply_act(y, activation)
+        if aq.handoff is not None and out_quant is None:
+            # Narrow inter-layer handoff (DynamicActQuant.handoff) — see
+            # quantnet/ops/conv.py dynamic branch.
+            y = y.astype(aq.handoff)
+        return maybe_requantize(y, out_quant)
 
     if isinstance(aq, ActQuant):
         # Static: frozen asymmetric input quant. (qx - zp) @ qw expands to

@@ -199,11 +199,30 @@ class TestSchemes:
 
     def test_quantized_apply_jits(self, model, batch):
         params, state = model
-        qp, qs = dynamic.quantize(params, state)
+        # f32 handoff: jit and eager must agree tightly.
+        qp, qs = dynamic.quantize(params, state, handoff=None)
         f = jax.jit(lambda p, s, x: convnet.apply(p, s, x)[0])
         a = f(qp, qs, batch)
         b = convnet.apply(qp, qs, batch)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+    def test_dynamic_bf16_handoff_close_to_f32_handoff(self, model, batch):
+        """The default bf16 inter-layer handoff (docs/PERF.md dynamic-PTQ
+        bandwidth fix) stays within the dynamic scheme's own quantization
+        noise: bf16 rounding (~3.9e-3 rel) sits below the int8 step, but it
+        can flip individual round() decisions, so the bound here is a few
+        quant steps on the logits, not float-level."""
+        params, state = model
+        qp32, qs32 = dynamic.quantize(params, state, handoff=None)
+        qp16, qs16 = dynamic.quantize(params, state)  # default bf16
+        a = convnet.apply(qp32, qs32, batch)[0]
+        b = convnet.apply(qp16, qs16, batch)[0]
+        a, b = np.asarray(a), np.asarray(b)
+        assert b.dtype == np.float32  # classifier output stays full precision
+        denom = np.maximum(np.abs(a).max(), 1.0)
+        assert np.max(np.abs(a - b)) / denom < 0.05
+        # top-1 decisions unchanged on this batch
+        assert (a.argmax(-1) == b.argmax(-1)).mean() >= 0.9
 
 
 class TestOptimizedPolicy:
