@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import statistics
 import time
+import weakref
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
@@ -54,14 +55,22 @@ def make_chained_forward(apply_fn: Callable) -> Callable:
 # One jitted chained program per apply_fn: jax.jit's signature cache then
 # handles different params structures / batch shapes without rebuilding the
 # Python callable (a fresh jit wrapper per call would force a full retrace).
-_CHAINED_CACHE: Dict[int, Callable] = {}
+# Weak-keyed on the function object itself — an id()-keyed dict would alias
+# two different apply_fns if the id is reused after GC.
+_CHAINED_CACHE: "weakref.WeakKeyDictionary[Callable, Callable]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def chained_forward(apply_fn: Callable) -> Callable:
-    key = id(apply_fn)
-    if key not in _CHAINED_CACHE:
-        _CHAINED_CACHE[key] = make_chained_forward(apply_fn)
-    return _CHAINED_CACHE[key]
+    try:
+        cached = _CHAINED_CACHE.get(apply_fn)
+    except TypeError:  # unhashable/unweakref-able callable: no caching
+        return make_chained_forward(apply_fn)
+    if cached is None:
+        cached = make_chained_forward(apply_fn)
+        _CHAINED_CACHE[apply_fn] = cached
+    return cached
 
 
 def _fetch_time_ms(fn, *args) -> float:
@@ -104,6 +113,163 @@ def time_chained(
         "p95_ms": s[min(int(len(s) * 0.95), len(s) - 1)],
         "min_ms": s[0],
     }
+
+
+# Per-chip peak compute by device kind (TOP/s). v5e: 394 int8 / 197 bf16
+# (fp32 models are reported against the bf16 MXU peak — the MXU computes in
+# bf16-family precision either way, so that ratio is the honest utilization
+# ceiling). Unknown device kinds get no MFU fields.
+_PEAK_TOPS = {
+    "TPU v5 lite": {"int8": 394.0, "other": 197.0},
+    "TPU v5e": {"int8": 394.0, "other": 197.0},
+    "TPU v4": {"int8": 275.0, "other": 275.0},
+    "TPU v6 lite": {"int8": 1836.0, "other": 918.0},
+}
+
+
+def _has_int8_compute(params) -> bool:
+    """True when any layer carries an activation-quant marker (its matmul/conv
+    runs int8 on the MXU); weight-only trees compute in the activation dtype."""
+    from quantnet.core.types import ActQuant, DynamicActQuant
+
+    found = False
+
+    def walk(node):
+        nonlocal found
+        if isinstance(node, dict):
+            if isinstance(node.get("aq"), (ActQuant, DynamicActQuant)):
+                found = True
+            for v in node.values():
+                if not found:
+                    walk(v)
+
+    walk(params)
+    return found
+
+
+def _conv_dim_taps(out_size, k, stride, pad_lo, in_size, dilation) -> float:
+    """Sum over output positions of in-bounds kernel taps along one spatial
+    dim (padding taps are zero-MACs; XLA's cost analysis discounts them and
+    so do we)."""
+    total = 0
+    for j in range(k):
+        off = j * dilation - pad_lo
+        # valid o: 0 <= o*stride + off < in_size and 0 <= o < out_size
+        lo = max(0, (-off + stride - 1) // stride) if off < 0 else 0
+        hi = min(out_size, (in_size - off + stride - 1) // stride)
+        total += max(hi - lo, 0)
+    return float(total)
+
+
+def _flops_of_eqn(eqn) -> float:
+    """MXU-relevant FLOPs of one jaxpr equation (2*MACs for conv/dot)."""
+    name = eqn.primitive.name
+    if name == "conv_general_dilated":
+        out = eqn.outvars[0].aval
+        lhs = eqn.invars[0].aval
+        rhs = eqn.invars[1].aval  # kernel
+        dn = eqn.params["dimension_numbers"]
+        cin = rhs.shape[dn.rhs_spec[1]]
+        cout = out.shape[dn.out_spec[1]]
+        n = out.shape[dn.out_spec[0]]
+        strides = eqn.params["window_strides"]
+        pads = eqn.params["padding"]
+        rhs_dil = eqn.params.get("rhs_dilation") or (1,) * len(strides)
+        lhs_dil = eqn.params.get("lhs_dilation") or (1,) * len(strides)
+        taps = 1.0
+        for i, (od, kd, ld) in enumerate(
+            zip(dn.out_spec[2:], dn.rhs_spec[2:], dn.lhs_spec[2:])
+        ):
+            in_size = lhs.shape[ld]
+            if lhs_dil[i] != 1:  # transposed conv: effective input size
+                in_size = (in_size - 1) * lhs_dil[i] + 1
+            taps *= _conv_dim_taps(
+                out.shape[od], rhs.shape[kd], strides[i], pads[i][0],
+                in_size, rhs_dil[i],
+            )
+        return 2.0 * n * cout * cin * taps / eqn.params.get(
+            "feature_group_count", 1
+        )
+    if name == "dot_general":
+        lhs, rhs = (v.aval for v in eqn.invars[:2])
+        (lc, _rc), (lb, _rb) = eqn.params["dimension_numbers"]
+        k = 1.0
+        for d in lc:
+            k *= lhs.shape[d]
+        batch = 1.0
+        for d in lb:
+            batch *= lhs.shape[d]
+        m = float(np.prod(lhs.shape)) / (k * batch)  # lhs non-contract/batch
+        n = float(np.prod(rhs.shape)) / (k * batch)  # rhs non-contract/batch
+        return 2.0 * batch * m * n * k
+    return 0.0
+
+
+def _flops_of_jaxpr(jaxpr) -> float:
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        total += _flops_of_eqn(eqn)
+        for p in ("jaxpr", "call_jaxpr"):
+            sub = eqn.params.get(p) if hasattr(eqn.params, "get") else None
+            if sub is not None:
+                total += _flops_of_jaxpr(getattr(sub, "jaxpr", sub))
+    return total
+
+
+def estimate_flops(apply_fn: Callable, params, state, x) -> Optional[float]:
+    """MXU FLOPs of one forward at x's batch size.
+
+    First tries XLA's HLO cost analysis on the lowered (uncompiled)
+    computation; some backends (e.g. the tunnel-attached axon TPU platform)
+    return None there, so the fallback traces the jaxpr and counts
+    conv_general_dilated / dot_general MACs analytically — backend-free and
+    cheap (no compile). Elementwise/reduction FLOPs are excluded either way
+    (negligible vs the conv/matmul terms for these models, and not what MFU
+    is about)."""
+    fn = lambda p, s, xx: apply_fn(p, s, xx, train=False)[0]  # noqa: E731
+    try:
+        ca = jax.jit(fn).lower(params, state, x).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) if ca else 0.0
+        if flops > 0:
+            return flops
+    except Exception:
+        pass
+    try:
+        jaxpr = jax.make_jaxpr(fn)(params, state, x).jaxpr
+        flops = _flops_of_jaxpr(jaxpr)
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def roofline_fields(
+    apply_fn: Callable, params, state, x, mean_ms: float
+) -> Dict[str, float]:
+    """MFU/roofline summary for one measured config: model GOPs, achieved
+    TOP/s, and fraction of the chip's peak (docs/PERF.md computed these by
+    hand in round 1; now every bench run emits them so perf regressions are
+    visible per run)."""
+    flops = estimate_flops(apply_fn, params, state, x)
+    if not flops or mean_ms <= 0:
+        return {}
+    achieved_tops = flops / (mean_ms / 1e3) / 1e12
+    out = {
+        "model_gops": flops / 1e9,
+        "achieved_tops": achieved_tops,
+    }
+    try:
+        kind = jax.local_devices()[0].device_kind
+    except Exception:
+        return out
+    for prefix, peaks in _PEAK_TOPS.items():
+        if kind.startswith(prefix):
+            peak = peaks["int8"] if _has_int8_compute(params) else peaks["other"]
+            out["peak_tops"] = peak
+            out["mfu"] = achieved_tops / peak
+            break
+    return out
 
 
 class InferenceBenchmark:
@@ -157,6 +323,9 @@ class InferenceBenchmark:
         stats["ms_per_image"] = stats["mean_ms"] / batch_size
         stats["images_per_s"] = batch_size / (stats["mean_ms"] / 1e3)
         stats["images_per_s_p50"] = batch_size / (stats["p50_ms"] / 1e3)
+        stats.update(
+            roofline_fields(apply_fn, params, state, x, stats["mean_ms"])
+        )
         return stats
 
     def compare_models(

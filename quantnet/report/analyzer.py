@@ -108,6 +108,11 @@ class ResultAnalyzer:
                 "p50_ms": bs_stats.get("p50_ms", 0.0),
                 "p95_ms": bs_stats.get("p95_ms", 0.0),
             }
+            # Roofline fields (emitted by the bench harness when the backend
+            # reports FLOPs + a known chip peak): achieved TOP/s and MFU.
+            for key in ("model_gops", "achieved_tops", "peak_tops", "mfu"):
+                if key in bs_stats:
+                    table[name][key] = bs_stats[key]
         if baseline in table:
             base = table[baseline]
             for name, row in table.items():
@@ -209,16 +214,29 @@ def create_detailed_report(
             fig.savefig(os.path.join(output_dir, "efficiency_metric.png"), dpi=120)
             plt.close(fig)
 
+    has_mfu = any("achieved_tops" in row for row in table.values())
     lines = ["# Quantization analysis report", ""]
-    lines.append("| model | top-1 % | Δ vs fp32 (pt) | size (MB) | ms/img (batch) | img/s | p50 ms | speedup |")
-    lines.append("|---|---|---|---|---|---|---|---|")
+    header = "| model | top-1 % | Δ vs fp32 (pt) | size (MB) | ms/img (batch) | img/s | p50 ms | speedup |"
+    rule = "|---|---|---|---|---|---|---|---|"
+    if has_mfu:
+        header += " TOP/s | MFU |"
+        rule += "---|---|"
+    lines.append(header)
+    lines.append(rule)
     for name, row in table.items():
-        lines.append(
+        line = (
             f"| {name} | {row.get('top1', 0):.2f} | {row.get('accuracy_delta_pt', 0):+.2f} "
             f"| {row.get('model_size_mb', 0):.2f} | {row.get('latency_batch_ms_per_image', 0):.4f} "
             f"| {row.get('throughput_img_s', 0):.1f} | {row.get('p50_ms', 0):.3f} "
             f"| {row.get('batch_speedup', 1.0):.2f}x |"
         )
+        if has_mfu:
+            tops = row.get("achieved_tops")
+            mfu = row.get("mfu")
+            line += (
+                f" {tops:.1f} |" if tops is not None else " — |"
+            ) + (f" {mfu * 100:.1f}% |" if mfu is not None else " — |")
+        lines.append(line)
     if eff:
         lines += ["", "## Efficiency metric", ""]
         for n, v in eff.items():
