@@ -165,6 +165,71 @@ def _next_conv1(params: dict, si: int, bi: int):
     return None
 
 
+def fold_stem_s2d(params: dict) -> dict:
+    """Rewrite the 7x7/stride-2 stem as a 4x4/stride-1 conv over a
+    space-to-depth input (the MLPerf ResNet trick; docs/PERF.md headroom #1).
+
+    Exactly equivalent math: output pixel o of the stride-2 conv taps padded
+    input rows 2o+j (after the kernel is front-aligned to an even pad); in
+    2x2-block coordinates that's blocks o..o+3 with phase j%2, so the 7x7x3
+    kernel (zero-padded to 8x8) regroups into 4x4x12. The C=3 stem underfills
+    the MXU (k*cin=147); at 12 input channels the same FLOPs run with
+    k*cin=192 and a stride-1 access pattern. apply() detects the folded stem
+    by shape and space-to-depths the NHWC input on device (or accepts
+    pre-transformed input from the host pipeline, see stem_s2d_input).
+
+    Run BEFORE quantization transforms (operates on the fp32 weight; BN and
+    every quantize transform apply unchanged afterwards)."""
+    conv1 = dict(params["conv1"])
+    w = conv1["w"]
+    kh, kw, cin, cout = w.shape
+    if (kh, kw) != (7, 7):
+        raise ValueError(f"stem fold expects a 7x7 stem, got {w.shape}")
+    # Front-pad by f so the kernel aligns with an even leading SAME pad
+    # (pt=3 for odd input sizes handled by f=1; pt is folded into
+    # stem_s2d_input's explicit padding).
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))  # 8x8
+    wp = wp.reshape(4, 2, 4, 2, cin, cout)
+    wp = wp.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin, cout)
+    conv1["w"] = wp
+    out = dict(params)
+    out["conv1"] = conv1
+    return out
+
+
+def stem_s2d_input(x: jax.Array) -> jax.Array:
+    """NHWC image batch -> space-to-depth form for a folded stem
+    (fold_stem_s2d): explicit SAME-equivalent zero pad, then 2x2 blocks to
+    channels. Callable on device (jit-fused) or on host (numpy in, numpy-like
+    out) so the input pipeline can pre-transform and skip the device-side
+    relayout."""
+    n, h, w, c = x.shape
+    out_h, out_w = -(-h // 2), -(-w // 2)
+
+    def pads(size, out_size):
+        # same leading pad as lax.conv SAME (k=7, s=2); trailing pad extends
+        # to cover the zero 8th kernel tap and make the padded size even
+        # (need = 2*out+6, always even).
+        total = max((out_size - 1) * 2 + 7 - size, 0)
+        pt = total // 2
+        need = 2 * (out_size - 1) + 8
+        pb = max(need - size - pt, 0)
+        return pt, pb
+
+    pt, pb = pads(h, out_h)
+    pl, pr = pads(w, out_w)
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    hh, ww = xp.shape[1] // 2, xp.shape[2] // 2
+    xp = xp.reshape(n, hh, 2, ww, 2, c)
+    xp = xp.transpose(0, 1, 3, 2, 4, 5)
+    return xp.reshape(n, hh, ww, 4 * c)
+
+
+def _stem_is_s2d(conv1: dict) -> bool:
+    # Folded stems are 4x4 (fold_stem_s2d); every stock stem here is 7x7.
+    return conv1["w"].shape[0] == 4
+
+
 def _maxpool_3x3_s2(x):
     # torch MaxPool2d(3, stride=2, padding=1) semantics; dtype-aware identity
     # element so the int8 handoff path pools in the int8 domain
@@ -195,11 +260,20 @@ def apply(
     if conv1_scale != 1.0:
         x = x * conv1_scale
     ns1 = new_state.get("conv1", {}) if train else {}
+    stem = params["conv1"]
+    stem_s2d = _stem_is_s2d(stem)
+    if stem_s2d and stem["w"].shape[2] == 4 * x.shape[-1]:
+        # Folded stem fed raw NHWC: space-to-depth on device. A host
+        # pipeline may instead feed pre-transformed input (channels already
+        # match), skipping this relayout entirely.
+        x = stem_s2d_input(x)
     # stem -> maxpool -> layer1/0/conv1 is a monotone chain: int8 handoff ok
     x = _conv_bn(
-        params["conv1"], state.get("conv1", {}), ns1, x,
-        stride=2, padding="SAME", train=train, relu=True, capture=capture, path="conv1",
-        out_quant=_chain_aq(params["conv1"], params["layer1"]["0"]["conv1"]),
+        stem, state.get("conv1", {}), ns1, x,
+        stride=1 if stem_s2d else 2,
+        padding="VALID" if stem_s2d else "SAME",
+        train=train, relu=True, capture=capture, path="conv1",
+        out_quant=_chain_aq(stem, params["layer1"]["0"]["conv1"]),
     )
     if train:
         new_state["conv1"] = ns1

@@ -270,3 +270,59 @@ class TestHandoffInvariants:
         logits, _ = resnet.apply(qp, qs, batch)
         scale = float(jnp.std(ref))
         assert float(jnp.mean(jnp.abs(logits - ref))) < 0.35 * scale
+
+
+class TestStemSpaceToDepth:
+    """fold_stem_s2d: the 7x7/s2 stem rewritten as 4x4/s1 over
+    space-to-depth input (docs/PERF.md headroom #1) must be numerically
+    identical to the stock stem, compose with BN fold + every quant scheme,
+    and accept host-pre-transformed input."""
+
+    def test_fp32_equivalence(self, model, batch):
+        params, state = model
+        a, _ = resnet.apply(params, state, batch)
+        p2 = resnet.fold_stem_s2d(params)
+        assert p2["conv1"]["w"].shape == (4, 4, 12, 64)
+        b, _ = resnet.apply(p2, state, batch)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+    def test_odd_input_size(self, model):
+        params, state = model
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 65, 65, 3))
+        a, _ = resnet.apply(params, state, x)
+        b, _ = resnet.apply(resnet.fold_stem_s2d(params), state, x)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+    def test_host_pretransformed_input(self, model, batch):
+        params, state = model
+        p2 = resnet.fold_stem_s2d(params)
+        a, _ = resnet.apply(p2, state, batch)
+        xs = resnet.stem_s2d_input(batch)
+        assert xs.shape[-1] == 12
+        b, _ = resnet.apply(p2, state, xs)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+
+    def test_static_int8_composes(self, model, batch):
+        params, state = model
+        p2 = resnet.fold_stem_s2d(params)
+        qp, qs = static.quantize(
+            p2, state, resnet.apply, [(batch, None)]
+        )
+        assert isinstance(qp["conv1"]["w"], QTensor)
+        assert qp["conv1"]["w"].shape == (4, 4, 12, 64)
+        ref_qp, ref_qs = static.quantize(
+            params, state, resnet.apply, [(batch, None)]
+        )
+        a, _ = resnet.apply(ref_qp, ref_qs, batch)
+        b, _ = resnet.apply(qp, qs, batch)
+        # same scheme, slightly different stem quantization grid (12-channel
+        # s2d input observes the same values) -> bounded logit difference
+        denom = max(float(jnp.max(jnp.abs(a))), 1.0)
+        assert float(jnp.max(jnp.abs(a - b))) / denom < 0.12
+        assert (np.asarray(a).argmax(-1) == np.asarray(b).argmax(-1)).all()
