@@ -25,7 +25,13 @@ from typing import Dict, Tuple
 import jax
 
 
-def _build_model(name: str, num_classes: int, seed: int = 0, conv1_scale: float = 1.0):
+def _build_model(
+    name: str,
+    num_classes: int,
+    seed: int = 0,
+    conv1_scale: float = 1.0,
+    zero_init_residual: bool = False,
+):
     init_kwargs = {}
     if name == "simple_convnet":
         from quantnet.models import convnet as mod
@@ -45,6 +51,8 @@ def _build_model(name: str, num_classes: int, seed: int = 0, conv1_scale: float 
                 f"unknown resnet depth {depth} (have {sorted(mod.VARIANTS)})"
             )
         init_kwargs["depth"] = depth
+        if zero_init_residual:
+            init_kwargs["zero_init_residual"] = True
         # conv1_scale: the reference's custom input-scale knob on the stem conv
         # (models/dynamic_ptq_model.py:13-32,157-164).
         apply_fn = (
@@ -136,7 +144,8 @@ def cmd_train(args):
 
     train_data, test_data, _ = _load_data(args)
     apply_fn, params, state = _build_model(
-        args.model, train_data.num_classes, args.seed, args.conv1_scale
+        args.model, train_data.num_classes, args.seed, args.conv1_scale,
+        zero_init_residual=getattr(args, "zero_init_residual", False),
     )
     cfg = TrainConfig(
         epochs=args.epochs,
@@ -147,6 +156,7 @@ def cmd_train(args):
         save_dir=args.save_dir,
         aug_rotation_deg=getattr(args, "aug_rotation", 0.0),
         aug_color_jitter=getattr(args, "aug_color_jitter", 0.0),
+        warmup_epochs=getattr(args, "warmup_epochs", 0.0),
     )
     trainer = Trainer(apply_fn, params, state, cfg, train_data, test_data)
     params, state = trainer.train(
@@ -384,6 +394,16 @@ def cmd_experiment(args):
     cmd_report(args)
 
 
+def _train_recipe_args(sp):
+    sp.add_argument("--warmup-epochs", type=float, default=0.0,
+                    help="linear lr warmup into the cosine schedule "
+                         "(from-scratch deep-ResNet recipe; 0 = reference's "
+                         "plain cosine)")
+    sp.add_argument("--zero-init-residual", action="store_true",
+                    help="zero the last BN gamma of every residual block "
+                         "(torchvision zero_init_residual)")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="quantnet")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -429,6 +449,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--aug-color-jitter", type=float, default=0.0,
                     help="brightness/contrast/saturation jitter strength "
                          "(reference ColorJitter(.2,.2,.2)); 0 disables")
+    _train_recipe_args(sp)
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("quantize")
@@ -510,6 +531,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--warmup", type=int, default=10)
     sp.add_argument("--iters", type=int, default=100)
     sp.add_argument("--report-batch-size", type=int, default=32)
+    _train_recipe_args(sp)
     sp.set_defaults(fn=cmd_experiment)
     return p
 

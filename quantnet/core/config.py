@@ -109,6 +109,9 @@ class TrainConfig:
     # reference transform, executed on device inside the jitted train step.
     aug_rotation_deg: float = 0.0
     aug_color_jitter: float = 0.0
+    # Linear lr warmup (epochs) into the cosine schedule — standard
+    # from-scratch ResNet recipe; 0 keeps the reference's plain cosine.
+    warmup_epochs: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -60,7 +60,11 @@ def _with_bn(layer, cout, state_slot):
 
 
 def init(
-    rng: jax.Array, num_classes: int = 1000, depth: int = 50
+    rng: jax.Array,
+    num_classes: int = 1000,
+    depth: int = 50,
+    *,
+    zero_init_residual: bool = False,
 ) -> Tuple[dict, dict]:
     """Initialize any torchvision-family depth (18/34/50/101/152).
 
@@ -69,7 +73,12 @@ def init(
     torchvision puts them (first block of a stage when the stride or the
     channel count changes). The reference uses only resnet50; the other
     depths are the same two block kinds re-counted, and every quantization
-    transform applies to them unchanged."""
+    transform applies to them unchanged.
+
+    zero_init_residual zeroes the last BN gamma of every block (torchvision's
+    option of the same name): each residual branch starts as identity, which
+    substantially speeds up early training of the deep variants from
+    scratch."""
     kind, stages = VARIANTS[depth]
     expansion = EXPANSION if kind == "bottleneck" else 1
     params: dict = {}
@@ -99,6 +108,9 @@ def init(
                 bs["conv1"], bs["conv2"] = {}, {}
                 bp["conv1"] = _with_bn(_conv_init(next(keys), 3, 3, cin, width), width, bs["conv1"])
                 bp["conv2"] = _with_bn(_conv_init(next(keys), 3, 3, width, cout), cout, bs["conv2"])
+            if zero_init_residual:
+                last = "conv3" if kind == "bottleneck" else "conv2"
+                bp[last]["bn"]["gamma"] = jnp.zeros_like(bp[last]["bn"]["gamma"])
             if bi == 0 and (stride != 1 or cin != cout):
                 bs["downsample"] = {}
                 bp["downsample"] = _with_bn(

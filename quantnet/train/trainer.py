@@ -34,9 +34,22 @@ from quantnet.data.datasets import Dataset
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     if cfg.optimizer == "sgd_cosine":
-        schedule = optax.cosine_decay_schedule(
-            cfg.lr, decay_steps=max(cfg.epochs * steps_per_epoch, 1)
+        warmup_steps = int(
+            getattr(cfg, "warmup_epochs", 0) * steps_per_epoch
         )
+        total = max(cfg.epochs * steps_per_epoch, 1)
+        if warmup_steps > 0:
+            # Linear warmup into the cosine (standard from-scratch ResNet
+            # recipe; avoids the flat-at-chance cold start of lr=0.1 on deep
+            # nets with batch norm).
+            schedule = optax.warmup_cosine_decay_schedule(
+                init_value=cfg.lr / max(warmup_steps, 1),
+                peak_value=cfg.lr,
+                warmup_steps=warmup_steps,
+                decay_steps=total,
+            )
+        else:
+            schedule = optax.cosine_decay_schedule(cfg.lr, decay_steps=total)
         tx = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay),
             optax.sgd(schedule, momentum=cfg.momentum),
