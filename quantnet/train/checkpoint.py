@@ -72,7 +72,12 @@ def _flatten(tree: Any, prefix: str, arrays: dict, manifest: dict) -> None:
         arrays[f"{prefix}#scale"] = np.asarray(tree.scale)
         arrays[f"{prefix}#zp"] = np.asarray(tree.zero_point)
     elif isinstance(tree, DynamicActQuant):
-        manifest[prefix] = {"kind": "dynamic_marker"}
+        # handoff (inter-layer narrow dtype) is semantic state: dropping it
+        # on save/load silently disabled the bf16 handoff and cost the
+        # loaded dynamic artifact ~1.5x throughput (caught when the
+        # experiment pipeline's dynamic bench disagreed with the in-process
+        # number).
+        manifest[prefix] = {"kind": "dynamic_marker", "handoff": tree.handoff}
     else:
         arr = np.asarray(tree)
         if arr.dtype == jnp.bfloat16:
@@ -107,7 +112,7 @@ def _unflatten(prefix: str, arrays, manifest: dict) -> Any:
             zero_point=jnp.asarray(arrays[f"{prefix}#zp"]),
         )
     if kind == "dynamic_marker":
-        return DynamicActQuant()
+        return DynamicActQuant(handoff=node.get("handoff"))
     if kind == "array":
         a = jnp.asarray(arrays[prefix])
         if node.get("dtype") == "bfloat16":

@@ -82,6 +82,7 @@ def main():
             f"p99 {lat[int(n * 0.99)]:.1f} ms | "
             f"occupancy {eng.occupancy():.2f} over {eng.stats['batches']:.0f} batches"
         )
+        log(f"engine-side latency stats: {eng.latency_stats()}")
 
 
 if __name__ == "__main__":

@@ -241,3 +241,27 @@ class TestAnalyzerExtras:
         train, _ = tiny_data
         x, y = train.sample_batch(4)
         assert x.shape[0] == 4 and y.shape == (4,)
+
+
+def test_artifact_roundtrip_preserves_dynamic_handoff(model, tmp_path):
+    """DynamicActQuant.handoff is semantic state (bf16 inter-layer handoff =
+    ~1.5x dynamic throughput on chip); the artifact format must keep it."""
+    from quantnet.quantize import dynamic
+
+    params, state = model
+    qp, _ = dynamic.quantize(params, state)  # default bf16 handoff
+    path = str(tmp_path / "dyn")
+    ckpt.save_artifact(path, {"params": qp}, {"scheme": "dynamic"})
+    tree, _ = ckpt.load_artifact(path)
+    aqs = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(
+            tree["params"],
+            is_leaf=lambda x: hasattr(x, "handoff"),
+        )
+        if hasattr(leaf, "handoff")
+    ]
+    assert aqs, "no DynamicActQuant leaves survived the roundtrip"
+    assert any(a.handoff == "bfloat16" for a in aqs)
+    # the classifier's marker stays full-precision
+    assert any(a.handoff is None for a in aqs)
