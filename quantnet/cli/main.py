@@ -211,6 +211,53 @@ def cmd_quantize(args):
         print(f"saved {name} artifact")
 
 
+def cmd_qat(args):
+    """Quantization-aware training: finetune the fp32 artifact through fake
+    quantization (quantnet/quantize/qat.py), bake a static-INT8 tree, save it
+    as the 'qat' artifact (evaluate/bench/report pick it up alongside the PTQ
+    schemes)."""
+    from quantnet.core.config import TrainConfig
+    from quantnet.quantize import qat
+    from quantnet.train import checkpoint as ckpt
+    from quantnet.train.trainer import Trainer
+
+    loaded = _load_fp32(args)
+    if loaded is None:
+        raise SystemExit(f"no fp32 artifact under {args.save_dir}; run train first")
+    params, state, meta = loaded
+    train_data, test_data, _ = _load_data(args)
+    apply_fn, _, _ = _build_model(
+        args.model, train_data.num_classes, conv1_scale=args.conv1_scale
+    )
+    calib = list(train_data.batches(args.batch_size, drop_remainder=True))[
+        : args.calibration_batches
+    ]
+    qp, qs = qat.prepare(
+        params, state, apply_fn, calib, observer=args.observer,
+        skip_first_layer=getattr(args, "skip_first_layer", False),
+    )
+    cfg = TrainConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        optimizer=args.optimizer,
+        seed=args.seed,
+        save_dir=args.save_dir,
+    )
+    trainer = Trainer(apply_fn, qp, qs, cfg, train_data, test_data)
+    qp, qs = trainer.train()  # best-accuracy tree, reloaded at train end
+    baked = qat.bake(qp)
+    os.makedirs(args.save_dir, exist_ok=True)
+    ckpt.save_artifact(
+        _artifact_path(args.save_dir, "qat"),
+        {"params": baked, "state": qs},
+        {"model": args.model, "scheme": "qat",
+         "qat_best_accuracy": trainer.best_accuracy},
+    )
+    print(f"qat finetune best accuracy (fake-quant graph): "
+          f"{trainer.best_accuracy:.4f}; saved qat artifact")
+
+
 def _collect_models(args):
     """Load every available artifact into {name: (apply_fn, params, state)}."""
     from quantnet.train import checkpoint as ckpt
@@ -220,7 +267,7 @@ def _collect_models(args):
         args.model, train_data.num_classes, conv1_scale=args.conv1_scale
     )
     models = {}
-    for name in ["fp32", "bf16", "dynamic", "static", "weight_only", "optimized"]:
+    for name in ["fp32", "bf16", "dynamic", "static", "weight_only", "optimized", "qat"]:
         path = _artifact_path(args.save_dir, name)
         if os.path.exists(path + ".json"):
             tree, _ = ckpt.load_artifact(path)
@@ -468,6 +515,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "the add in downsample blocks (reference residual "
                          "semantics; bandwidth win on TPU)")
     sp.set_defaults(fn=cmd_quantize)
+
+    sp = sub.add_parser("qat")
+    common(sp)
+    sp.add_argument("--epochs", type=int, default=2,
+                    help="QAT finetune epochs (short, from the fp32 artifact)")
+    sp.add_argument("--lr", type=float, default=0.01,
+                    help="finetune lr (≈1/10 of from-scratch training)")
+    sp.add_argument("--optimizer", default="sgd_cosine",
+                    choices=["sgd_cosine", "adam_plateau"])
+    sp.add_argument("--observer", default="minmax",
+                    choices=["minmax", "moving_average", "histogram", "mse"])
+    sp.add_argument("--calibration-batches", type=int, default=16)
+    sp.add_argument("--skip-first-layer", action="store_true",
+                    help="keep the stem fp32 (deployment policy; see quantize)")
+    sp.set_defaults(fn=cmd_qat)
 
     sp = sub.add_parser("evaluate")
     common(sp)

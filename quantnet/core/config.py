@@ -41,6 +41,12 @@ class Flags:
     int8_conv_backend: str = field(
         default_factory=lambda: os.environ.get("QUANTNET_INT8_CONV", "auto")
     )
+    # ResNet block-boundary residual epilogue: xla (let XLA fuse into the
+    # producing conv) | pallas (fused layout-pinned kernel,
+    # quantnet/ops/pallas_boundary.py — the headroom #3 experiment).
+    boundary_backend: str = field(
+        default_factory=lambda: os.environ.get("QUANTNET_BOUNDARY", "xla")
+    )
 
 
 flags = Flags()
@@ -64,6 +70,10 @@ def resolve_conv_backend() -> str:
     if b == "auto":
         return "emulate" if _on_cpu() else "xla"
     return b
+
+
+def resolve_boundary_backend() -> str:
+    return flags.boundary_backend
 
 
 @dataclass(frozen=True)

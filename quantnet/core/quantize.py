@@ -117,6 +117,36 @@ def fake_quantize_affine(x, scale, zero_point):
     return dequantize(q, scale, zero_point)
 
 
+def fake_quant_act_ste(x: jax.Array, scale, zero_point) -> jax.Array:
+    """Clipped-STE affine fake quantization (QAT activation path).
+
+    Forward = quantize->dequantize with the frozen (scale, zero_point);
+    backward = identity inside the representable range
+    [(INT8_MIN - zp) * s, (INT8_MAX - zp) * s], zero outside (the standard
+    clipped straight-through estimator: gradients don't flow through values
+    the deployed int8 graph would clip away).
+    """
+    scale = jnp.float32(scale)
+    zp = jnp.float32(zero_point)
+    lo = (INT8_MIN - zp) * scale
+    hi = (INT8_MAX - zp) * scale
+    fq = fake_quantize_affine(x, scale, zero_point)
+    xc = jnp.clip(x, lo, hi)
+    return xc + jax.lax.stop_gradient(fq - xc)
+
+
+def fake_quant_weight_ste(w: jax.Array, per_channel: bool = True) -> jax.Array:
+    """STE symmetric fake quantization (QAT weight path).
+
+    The scale tracks the live weight's absmax each step (per-output-channel
+    when per_channel), so no value ever falls outside the range and the plain
+    STE (identity gradient) is exact.
+    """
+    axis = (w.ndim - 1) if per_channel else None
+    fq = fake_quantize_symmetric(w, axis)
+    return w + jax.lax.stop_gradient(fq - w)
+
+
 def maybe_requantize(y: jax.Array, out_quant) -> jax.Array:
     """int8 tensor-handoff epilogue: requantize `y` into the consumer's
     frozen affine domain when `out_quant` (an ActQuant) is given, else pass

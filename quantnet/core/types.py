@@ -135,6 +135,52 @@ jax.tree_util.register_pytree_node(
 )
 
 
+class FakeQuant:
+    """Static (non-array) fake-quantization marker for QAT training islands.
+
+    Attached to a layer's param dict under key 'fq' by quantnet/quantize/qat.py.
+    The layer op then computes with fake-quantized (quantize->dequantize, STE
+    gradients) weights and activations, simulating the deployed static-INT8
+    graph while staying differentiable — quantization-aware training, the
+    capability the reference's "custom quantization" schemes gesture at but
+    never train through (its QuantStub/DeQuantStub islands are identity without
+    prepare()/convert(), SURVEY.md behavior note 2).
+
+    scale / zero_point are *host* numbers (frozen calibration ranges), carried
+    as pytree aux data: no array leaves, so optimizers never touch them, and
+    jit re-traces if they change. per_channel records the weight-quant axis
+    choice so bake() matches what training simulated.
+    """
+
+    def __init__(self, scale: float, zero_point: int, per_channel: bool = True):
+        self.scale = float(scale)
+        self.zero_point = int(zero_point)
+        self.per_channel = bool(per_channel)
+
+    def __repr__(self):
+        return (
+            f"FakeQuant(scale={self.scale!r}, zero_point={self.zero_point!r}, "
+            f"per_channel={self.per_channel!r})"
+        )
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, FakeQuant)
+            and (self.scale, self.zero_point, self.per_channel)
+            == (other.scale, other.zero_point, other.per_channel)
+        )
+
+    def __hash__(self):
+        return hash((FakeQuant, self.scale, self.zero_point, self.per_channel))
+
+
+jax.tree_util.register_pytree_node(
+    FakeQuant,
+    lambda node: ((), (node.scale, node.zero_point, node.per_channel)),
+    lambda aux, children: FakeQuant(*aux),
+)
+
+
 def is_quantized(leaf: Any) -> bool:
     return isinstance(leaf, QTensor)
 

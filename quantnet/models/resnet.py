@@ -303,6 +303,7 @@ def apply(
             prefix = f"{stage}/{b}"
             bottleneck = "conv3" in bp
 
+            block_in = x  # raw block input (int8 when the boundary handoff fired)
             identity = x
             if x.dtype == jnp.int8:
                 # Block-boundary int8 handoff: x arrived quantized in THIS
@@ -393,13 +394,6 @@ def apply(
                 if identity.dtype == jnp.int8:
                     ds_oq = bp["downsample"]["oq"]
                     identity = dequantize(identity, ds_oq.scale, ds_oq.zero_point)
-            if out.dtype == jnp.int8:
-                oq = bp["conv3" if bottleneck else "conv2"]["oq"]
-                out = dequantize(out, oq.scale, oq.zero_point)
-            # Residual add in the fp32 accumulate domain (reference semantics:
-            # dequantized operands, dynamic_ptq_model.py:88 /
-            # custom_quantization_model.py:95-100).
-            x = jax.nn.relu(out + identity)
             # Block-boundary int8 handoff: the block output is the dominant
             # inter-layer HBM tensor in the net (f32 it is ~22 MB/image across
             # all 16 blocks); when both this block's conv3 and the next
@@ -408,14 +402,43 @@ def apply(
             # hits HBM at 1 byte/elem. The next iteration dequantizes for its
             # identity branch (see above).
             nxt = _next_conv1(params, si, bi)
+            boundary_aq = None
             if nxt is not None:
                 boundary_aq = _chain_aq(
                     bp["conv3"] if bottleneck else bp["conv2"], nxt
                 )
-                if boundary_aq is not None:
-                    x = quantize_affine(
-                        x, boundary_aq.scale, boundary_aq.zero_point
+            from quantnet.core import config as _cfg
+
+            if (
+                boundary_aq is not None
+                and not train
+                and out.dtype != jnp.int8
+                and _cfg.resolve_boundary_backend() == "pallas"
+            ):
+                # Headroom #3 experiment: fuse dequant+add+relu+requantize in
+                # one layout-pinned Pallas kernel (quantnet/ops/pallas_boundary).
+                # Bit-exact vs the unfused path (oracle-tested).
+                from quantnet.ops.pallas_boundary import residual_boundary
+
+                if "downsample" not in bp and block_in.dtype == jnp.int8:
+                    a = bp["conv1"]["aq"]
+                    x = residual_boundary(
+                        out, block_in, a.scale, a.zero_point, boundary_aq
                     )
+                else:
+                    x = residual_boundary(out, identity, None, None, boundary_aq)
+                continue
+            if out.dtype == jnp.int8:
+                oq = bp["conv3" if bottleneck else "conv2"]["oq"]
+                out = dequantize(out, oq.scale, oq.zero_point)
+            # Residual add in the fp32 accumulate domain (reference semantics:
+            # dequantized operands, dynamic_ptq_model.py:88 /
+            # custom_quantization_model.py:95-100).
+            x = jax.nn.relu(out + identity)
+            if boundary_aq is not None:
+                x = quantize_affine(
+                    x, boundary_aq.scale, boundary_aq.zero_point
+                )
 
     x = avgpool_global(x)
     if capture is not None:

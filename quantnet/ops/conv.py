@@ -148,6 +148,21 @@ def conv2d(
     b = layer.get("b")
     out_dtype = jnp.float32
 
+    fq = layer.get("fq")
+    if fq is not None and not isinstance(w, QTensor):
+        # QAT training island (quantnet/quantize/qat.py): fake-quantized
+        # activations (frozen affine ranges, clipped STE) and weights (live
+        # per-channel symmetric, STE) through an f32 conv — the differentiable
+        # simulation of the deployed static-INT8 graph.
+        from quantnet.core.quantize import fake_quant_act_ste, fake_quant_weight_ste
+
+        xq = fake_quant_act_ste(x, fq.scale, fq.zero_point)
+        wq = fake_quant_weight_ste(w, per_channel=fq.per_channel)
+        y = _conv(xq, wq, stride, padding, out_dtype)
+        if b is not None:
+            y = y + b
+        return maybe_requantize(_apply_act(y, activation), out_quant)
+
     if not isinstance(w, QTensor):
         # Narrow-dtype rule (see quantnet/ops/linear.py): bf16 params pull
         # activations down to bf16; f32 params leave them unchanged. (An

@@ -80,6 +80,18 @@ def linear(
     b = layer.get("b")
     out_dtype = jnp.float32
 
+    fq = layer.get("fq")
+    if fq is not None and not isinstance(w, QTensor):
+        # QAT training island — see quantnet/ops/conv.py::conv2d.
+        from quantnet.core.quantize import fake_quant_act_ste, fake_quant_weight_ste
+
+        xq = fake_quant_act_ste(x, fq.scale, fq.zero_point)
+        wq = fake_quant_weight_ste(w, per_channel=fq.per_channel)
+        y = jnp.dot(xq, wq, preferred_element_type=out_dtype)
+        if b is not None:
+            y = y + b
+        return maybe_requantize(_apply_act(y, activation), out_quant)
+
     if not isinstance(w, QTensor):
         # Compute in the narrower dtype: bf16-cast params (quantnet/quantize/
         # bf16.py) pull f32 activations down to bf16 and hit the MXU's fast
