@@ -123,6 +123,13 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
         pre_add_quant=getattr(args, "pre_add_quant", False),
     )
     out["weight_only"] = weight_only.quantize(params, state)
+    # Sub-byte tier (beyond the reference): 4-bit weights with group-wise
+    # scales on linear layers — ~8x weight compression at the same epilogue
+    # cost; see quantnet/quantize/weight_only.py.
+    out["weight_only_int4"] = weight_only.quantize(
+        params, state, bits=4,
+        group_size=getattr(args, "int4_group_size", 128) or None,
+    )
     importance = getattr(args, "importance", None) or (
         # Measured sensitivity needs one trace per layer; default to the
         # positional importance map for deep models (54 layers in ResNet-50).
@@ -267,7 +274,8 @@ def _collect_models(args):
         args.model, train_data.num_classes, conv1_scale=args.conv1_scale
     )
     models = {}
-    for name in ["fp32", "bf16", "dynamic", "static", "weight_only", "optimized", "qat"]:
+    for name in ["fp32", "bf16", "dynamic", "static", "weight_only",
+                 "weight_only_int4", "optimized", "qat"]:
         path = _artifact_path(args.save_dir, name)
         if os.path.exists(path + ".json"):
             tree, _ = ckpt.load_artifact(path)
@@ -502,10 +510,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("quantize")
     common(sp)
     sp.add_argument("--scheme", default="all",
-                    choices=["all", "bf16", "dynamic", "static", "weight_only", "optimized"])
+                    choices=["all", "bf16", "dynamic", "static", "weight_only",
+                             "weight_only_int4", "optimized"])
     sp.add_argument("--observer", default="minmax",
                     choices=["minmax", "moving_average", "histogram", "mse"])
     sp.add_argument("--calibration-batches", type=int, default=16)
+    sp.add_argument("--int4-group-size", type=int, default=128,
+                    help="weight_only_int4: group-wise scale granularity "
+                         "along the reduction dim of linear layers "
+                         "(0 = per-channel only)")
     sp.add_argument("--skip-first-layer", action="store_true",
                     help="static scheme: keep the stem in fp32 compute "
                          "(int8 handoff out) — faster and more accurate for "

@@ -36,21 +36,67 @@ def _reduce_axes(ndim: int, axis: Optional[int]) -> Tuple[int, ...]:
     return tuple(i for i in range(ndim) if i != axis)
 
 
-def symmetric_scale(x: jax.Array, axis: Optional[int] = None) -> jax.Array:
-    """absmax / 127 scale; per-tensor (axis=None) or per-channel along `axis`.
+def sym_max(bits: int) -> float:
+    """Symmetric range limit for a signed `bits`-wide type, -min excluded so
+    negation stays representable: 127 for int8, 7 for int4."""
+    return float(2 ** (bits - 1) - 1)
+
+
+def symmetric_scale(
+    x: jax.Array, axis: Optional[int] = None, bits: int = 8
+) -> jax.Array:
+    """absmax / sym_max(bits) scale; per-tensor (axis=None) or per-channel
+    along `axis`.
 
     Shape: scalar () for per-tensor; broadcastable (1,..,C,..,1) for per-channel.
     """
     red = _reduce_axes(x.ndim, axis)
     amax = jnp.max(jnp.abs(x), axis=red, keepdims=axis is not None)
-    return jnp.maximum(amax, EPS).astype(jnp.float32) / SYM_MAX
+    return jnp.maximum(amax, EPS).astype(jnp.float32) / sym_max(bits)
 
 
-def quantize_symmetric(x: jax.Array, axis: Optional[int] = None) -> QTensor:
-    """Symmetric INT8 quantization (weights). Per-channel when axis is given."""
-    scale = symmetric_scale(x, axis)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -SYM_MAX, SYM_MAX)
-    return QTensor(values=q.astype(jnp.int8), scale=scale, zero_point=None, axis=axis)
+def quantize_symmetric(
+    x: jax.Array, axis: Optional[int] = None, bits: int = 8
+) -> QTensor:
+    """Symmetric quantization (weights). Per-channel when axis is given.
+
+    bits < 8 payloads stay int8 at runtime (values in [-sym_max, sym_max]);
+    the artifact serializer packs them sub-byte on disk (QTensor docstring).
+    """
+    m = sym_max(bits)
+    scale = symmetric_scale(x, axis, bits)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -m, m)
+    return QTensor(
+        values=q.astype(jnp.int8), scale=scale, zero_point=None, axis=axis, bits=bits
+    )
+
+
+def quantize_symmetric_grouped(
+    w: jax.Array, group_size: int, bits: int = 4
+) -> QTensor:
+    """Group-wise symmetric weight quantization along the reduction axis.
+
+    Standard sub-byte weight-only recipe (per-channel alone loses too much at
+    4 bits on wide reductions): the (K, ...) weight is split into K/group_size
+    row groups, each with its own absmax scale of shape (K//g, 1, ...).
+    Requires group_size | K.
+    """
+    k = w.shape[0]
+    if k % group_size:
+        raise ValueError(f"group_size {group_size} must divide K={k}")
+    m = sym_max(bits)
+    g = w.astype(jnp.float32).reshape(k // group_size, group_size, *w.shape[1:])
+    amax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, EPS) / m
+    q = jnp.clip(jnp.round(g / scale), -m, m).reshape(w.shape)
+    return QTensor(
+        values=q.astype(jnp.int8),
+        scale=scale,
+        zero_point=None,
+        axis=None,
+        bits=bits,
+        group_size=group_size,
+    )
 
 
 def affine_qparams(

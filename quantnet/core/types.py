@@ -39,21 +39,34 @@ class QTensor:
     """An INT8-quantized tensor with its dequantization parameters.
 
     values: int8 payload, same shape as the original tensor. Lives packed in HBM.
+            Sub-byte quantization (bits=4) keeps the *runtime* payload int8
+            (XLA has no s4 compute type worth dispatching to here) with values
+            restricted to the narrow range; artifact serialization
+            (quantnet/train/checkpoint.py) packs two nibbles per byte on disk.
     scale:  fp32 scale. Scalar () for per-tensor, or shaped to broadcast against
             ``values`` for per-channel (e.g. (1, N) for a (K, N) weight quantized
-            along the output-channel axis).
+            along the output-channel axis). Group-wise quantization
+            (group_size=g along the reduction axis 0) stores shape
+            (K // g, 1, *values.shape[1:]).
     zero_point: optional int32 zero point, same shape rules as scale. None means
             symmetric quantization (zero_point == 0), the common case for weights.
     axis:   static metadata: channel axis for per-channel quantization, or None
             for per-tensor. Not a pytree leaf.
+    bits:   static metadata: quantized bit width (8 or 4). Affects the value
+            range, the serialized packing, and size accounting.
+    group_size: static metadata: group-wise scale granularity along axis 0
+            (reduction dim), or None for per-tensor/per-channel.
 
-    Dequantization contract: ``deq(values) = (values - zero_point) * scale``.
+    Dequantization contract: ``deq(values) = (values - zero_point) * scale``
+    (group-wise: scales broadcast over their group's rows).
     """
 
     values: jax.Array
     scale: jax.Array
     zero_point: Optional[jax.Array] = None
     axis: Optional[int] = struct.field(pytree_node=False, default=None)
+    bits: int = struct.field(pytree_node=False, default=8)
+    group_size: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def shape(self):
@@ -67,12 +80,19 @@ class QTensor:
         v = self.values.astype(dtype)
         if self.zero_point is not None:
             v = v - self.zero_point.astype(dtype)
+        if self.group_size is not None:
+            # (K, ...) -> (K//g, g, ...) so the (K//g, 1, ...) scale broadcasts
+            # per group; XLA fuses this reshape+mul into the consuming op.
+            shape = v.shape
+            v = v.reshape(-1, self.group_size, *shape[1:])
+            return (v * self.scale.astype(dtype)).reshape(shape)
         return v * self.scale.astype(dtype)
 
     @property
     def nbytes(self) -> int:
-        """Serialized footprint: packed int8 payload + quant params."""
-        n = self.values.size * self.values.dtype.itemsize
+        """Serialized footprint: packed payload (nibble-packed for bits=4,
+        matching the on-disk artifact) + quant params."""
+        n = -(-self.values.size * self.bits // 8)
         n += self.scale.size * self.scale.dtype.itemsize
         if self.zero_point is not None:
             n += self.zero_point.size * self.zero_point.dtype.itemsize

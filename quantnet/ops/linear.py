@@ -111,6 +111,14 @@ def linear(
     w_scale = w.scale
 
     if aq is None:
+        if w.group_size is not None:
+            # Group-wise scales vary along the reduction axis, so the dequant
+            # can't move past the dot: dequantize into the operand read (XLA
+            # fuses the reshape+mul into the matmul's weight load).
+            y = jnp.dot(x, w.dequantize(x.dtype), preferred_element_type=out_dtype)
+            if b is not None:
+                y = y + b
+            return maybe_requantize(_apply_act(y, activation), out_quant)
         # Weight-only: keep the matmul in the activation dtype; fold the
         # per-channel dequant scale into the epilogue: x @ (q*s) = (x @ q) * s.
         y = jnp.dot(

@@ -143,7 +143,10 @@ def shard_params(mesh: Mesh, params, *, model_parallel: bool = False):
                 if leaf.zero_point is not None
                 else None
             )
-            return QTensor(values=values, scale=scale, zero_point=zp, axis=leaf.axis)
+            return QTensor(
+                values=values, scale=scale, zero_point=zp, axis=leaf.axis,
+                bits=leaf.bits, group_size=leaf.group_size,
+            )
         spec = _spec_for_param(names, leaf, model_parallel)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 

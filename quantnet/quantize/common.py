@@ -11,7 +11,7 @@ from typing import Callable, Dict, Optional
 
 import jax.numpy as jnp
 
-from quantnet.core.quantize import quantize_symmetric
+from quantnet.core.quantize import quantize_symmetric, quantize_symmetric_grouped
 from quantnet.core.types import QTensor
 
 
@@ -44,10 +44,19 @@ def layer_paths(params: dict, prefix: str = "") -> list:
     return paths
 
 
-def quantize_weight(w, per_channel: bool) -> QTensor:
-    """Symmetric INT8 weight quantization; channel axis = last (HWIO / KN)."""
+def quantize_weight(
+    w, per_channel: bool, bits: int = 8, group_size: Optional[int] = None
+) -> QTensor:
+    """Symmetric weight quantization; channel axis = last (HWIO / KN).
+
+    group_size switches 2-D (linear K x N) weights to group-wise scales along
+    the reduction axis K — the sub-byte (bits=4) accuracy recipe; conv kernels
+    (4-D HWIO, where axis 0 is kernel height, not the reduction) and
+    non-dividing K fall back to per-channel."""
+    if group_size is not None and w.ndim == 2 and w.shape[0] % group_size == 0:
+        return quantize_symmetric_grouped(w, group_size, bits=bits)
     axis = (w.ndim - 1) if per_channel else None
-    return quantize_symmetric(w, axis=axis)
+    return quantize_symmetric(w, axis=axis, bits=bits)
 
 
 def weight_colsum(qw: QTensor) -> jnp.ndarray:

@@ -26,9 +26,15 @@ from quantnet.quantize.fold import fold_model
 
 @partial(
     jax.jit,
-    static_argnames=("per_channel", "skip_last_layer", "policy_items", "last_layer_name"),
+    static_argnames=(
+        "per_channel", "skip_last_layer", "policy_items", "last_layer_name",
+        "bits", "group_size",
+    ),
 )
-def _transform(params, state, per_channel, skip_last_layer, policy_items, last_layer_name):
+def _transform(
+    params, state, per_channel, skip_last_layer, policy_items, last_layer_name,
+    bits, group_size,
+):
     params, state = fold_model(params, state)
     last = last_layer_name or last_layer_path(params)
     layer_policy = dict(policy_items) if policy_items else None
@@ -38,7 +44,9 @@ def _transform(params, state, per_channel, skip_last_layer, policy_items, last_l
         if action == "fp32" or (skip_last_layer and path == last):
             return dict(layer)
         out = dict(layer)
-        out["w"] = quantize_weight(layer["w"], per_channel)
+        out["w"] = quantize_weight(
+            layer["w"], per_channel, bits=bits, group_size=group_size
+        )
         return out
 
     return walk_layers(params, q), state
@@ -52,6 +60,8 @@ def quantize(
     skip_last_layer: bool = True,
     layer_policy: Optional[dict] = None,
     last_layer_name: Optional[str] = None,
+    bits: int = 8,
+    group_size: Optional[int] = None,
 ) -> Tuple[dict, dict]:
     """FP32 (params, state) -> weight-only-quantized (params', {}).
 
@@ -60,8 +70,16 @@ def quantize(
     layer is auto-detected from the params tree ('fc2' for SimpleConvNet,
     'fc' for ResNet-50) unless named explicitly. The whole transform runs as
     one jitted device program.
+
+    bits=4 (beyond the reference) is the sub-byte tier: ~8x weight
+    compression, dequant still in the epilogue; pair with group_size
+    (e.g. 64/128) for group-wise scales on linear layers — per-channel
+    alone typically loses several points at 4 bits on wide reductions.
     """
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
     policy_items = tuple(sorted(layer_policy.items())) if layer_policy else None
     return _transform(
-        params, state, per_channel, skip_last_layer, policy_items, last_layer_name
+        params, state, per_channel, skip_last_layer, policy_items,
+        last_layer_name, bits, group_size,
     )

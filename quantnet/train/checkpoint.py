@@ -62,8 +62,22 @@ def _flatten(tree: Any, prefix: str, arrays: dict, manifest: dict) -> None:
             _flatten(tree[k], f"{prefix}.{k}" if prefix else str(k), arrays, manifest)
     elif isinstance(tree, QTensor):
         manifest[prefix] = {"kind": "qtensor", "axis": tree.axis,
-                            "has_zp": tree.zero_point is not None}
-        arrays[f"{prefix}#values"] = np.asarray(tree.values)
+                            "has_zp": tree.zero_point is not None,
+                            "bits": tree.bits, "group_size": tree.group_size}
+        vals = np.asarray(tree.values)
+        if tree.bits == 4:
+            # True sub-byte artifact: two int4 values per byte. Low nibble =
+            # even flat index, high = odd; values are in [-7, 7], biased +8
+            # into [1, 15] so the nibble is unambiguous. Shape recorded for
+            # unpacking.
+            manifest[prefix]["shape"] = list(vals.shape)
+            flat = vals.reshape(-1).astype(np.int16) + 8
+            if flat.size % 2:
+                flat = np.concatenate([flat, np.zeros(1, np.int16)])
+            packed = (flat[0::2] | (flat[1::2] << 4)).astype(np.uint8)
+            arrays[f"{prefix}#values"] = packed
+        else:
+            arrays[f"{prefix}#values"] = vals
         arrays[f"{prefix}#scale"] = np.asarray(tree.scale)
         if tree.zero_point is not None:
             arrays[f"{prefix}#zp"] = np.asarray(tree.zero_point)
@@ -100,11 +114,22 @@ def _unflatten(prefix: str, arrays, manifest: dict) -> Any:
         }
     if kind == "qtensor":
         zp = jnp.asarray(arrays[f"{prefix}#zp"]) if node["has_zp"] else None
+        bits = node.get("bits", 8)
+        vals = arrays[f"{prefix}#values"]
+        if bits == 4:
+            packed = np.asarray(vals).astype(np.uint8)
+            lo = (packed & 0xF).astype(np.int8) - 8
+            hi = (packed >> 4).astype(np.int8) - 8
+            flat = np.stack([lo, hi], axis=1).reshape(-1)
+            shape = tuple(node["shape"])
+            vals = flat[: int(np.prod(shape))].reshape(shape)
         return QTensor(
-            values=jnp.asarray(arrays[f"{prefix}#values"]),
+            values=jnp.asarray(vals),
             scale=jnp.asarray(arrays[f"{prefix}#scale"]),
             zero_point=zp,
             axis=node["axis"],
+            bits=bits,
+            group_size=node.get("group_size"),
         )
     if kind == "actquant":
         return ActQuant(
