@@ -139,6 +139,7 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
         params, state, apply_fn,
         calib[: max(args.calibration_batches // 4, 1)],
         importance=importance,
+        low_precision_scheme=getattr(args, "optimized_low_tier", "weight_only"),
     )
     out["optimized"] = (qp, qs)
     out["_policy"] = policy
@@ -519,6 +520,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="weight_only_int4: group-wise scale granularity "
                          "along the reduction dim of linear layers "
                          "(0 = per-channel only)")
+    sp.add_argument("--optimized-low-tier", default="weight_only",
+                    choices=["weight_only", "int4"],
+                    help="optimized scheme: precision tier for the "
+                         "least-sensitive layers")
     sp.add_argument("--skip-first-layer", action="store_true",
                     help="static scheme: keep the stem in fp32 compute "
                          "(int8 handoff out) — faster and more accurate for "

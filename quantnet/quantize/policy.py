@@ -116,10 +116,13 @@ def quantize_optimized(
     importance: str = "sensitivity",  # or "static_map"
     keep_fp32_fraction: float = 0.25,
     per_channel: bool = True,
+    low_precision_scheme: str = "weight_only",  # or "int4"
 ) -> Tuple[dict, dict, Dict[str, str]]:
     """The end-to-end "optimized" scheme: analyze -> policy -> quantize.
 
     Returns (qparams, qstate, policy) so reports can show the chosen table.
+    low_precision_scheme="int4" drops the least-sensitive layers to the
+    group-wise 4-bit tier instead of int8.
     """
     fparams, fstate = fold_model_jit(params, state)
     paths = layer_paths(fparams)
@@ -129,7 +132,11 @@ def quantize_optimized(
         )
     else:
         imp = static_importance_map(paths)
-    policy = build_policy(imp, keep_fp32_fraction=keep_fp32_fraction)
+    policy = build_policy(
+        imp,
+        keep_fp32_fraction=keep_fp32_fraction,
+        low_precision_scheme=low_precision_scheme,
+    )
     qparams, qstate = _apply_policy(fparams, fstate, tuple(sorted(policy.items())), per_channel)
     return qparams, qstate, policy
 
@@ -138,7 +145,9 @@ def quantize_optimized(
 def _apply_policy(fparams, fstate, policy_items, per_channel):
     """Mixed-precision bake: per-layer action from the policy table —
     'fp32' keep, 'bf16' cast weights (ops' narrow-dtype rule pulls the
-    layer's activations down), anything else per-channel INT8 weight-only."""
+    layer's activations down), 'int4' group-wise 4-bit weight-only (the
+    lowest tier, for the least sensitive layers), anything else
+    per-channel INT8 weight-only."""
     import jax.numpy as jnp
 
     policy = dict(policy_items)
@@ -152,6 +161,9 @@ def _apply_policy(fparams, fstate, policy_items, per_channel):
             out["w"] = layer["w"].astype(jnp.bfloat16)
             if out.get("b") is not None:
                 out["b"] = out["b"].astype(jnp.bfloat16)
+            return out
+        if action == "int4":
+            out["w"] = quantize_weight(layer["w"], per_channel, bits=4, group_size=128)
             return out
         out["w"] = quantize_weight(layer["w"], per_channel)
         return out

@@ -129,6 +129,44 @@ class TestInt4Scheme:
         assert fp32_b / int4_b > 5.5, (fp32_b, int4_b)
 
 
+class TestPolicyInt4Tier:
+    def test_policy_int4_action(self, rng):
+        from quantnet.models import convnet
+        from quantnet.quantize.fold import fold_model_jit
+        from quantnet.quantize.policy import _apply_policy
+
+        params, state = convnet.init(rng)
+        fp, fs = fold_model_jit(params, state)
+        policy = (("conv1", "bf16"), ("fc1", "int4"), ("fc2", "fp32"))
+        qp, _ = _apply_policy(fp, fs, policy, True)
+        assert qp["conv1"]["w"].dtype == jnp.bfloat16
+        fc1 = qp["fc1"]["w"]
+        assert isinstance(fc1, QTensor) and fc1.bits == 4 and fc1.group_size == 128
+        assert not isinstance(qp["fc2"]["w"], QTensor)
+        # unlisted layers default to int8 weight-only
+        assert isinstance(qp["conv2"]["w"], QTensor) and qp["conv2"]["w"].bits == 8
+
+    def test_optimized_scheme_int4_low_tier(self, rng):
+        from quantnet.models import convnet
+        from quantnet.quantize.policy import quantize_optimized
+
+        params, state = convnet.init(rng)
+        qp, qs, policy = quantize_optimized(
+            params, state, convnet.apply, None,
+            importance="static_map", low_precision_scheme="int4",
+        )
+        tiers = set(policy.values())
+        assert tiers == {"bf16", "int4"}
+        int4_layers = [p for p, a in policy.items() if a == "int4"]
+        assert int4_layers
+        got = qp[int4_layers[0]]["w"]
+        assert isinstance(got, QTensor) and got.bits == 4
+        # model still runs
+        x = jax.random.normal(jax.random.PRNGKey(3), (4, 32, 32, 3))
+        y, _ = convnet.apply(qp, qs, x)
+        assert y.shape == (4, 10)
+
+
 class TestInt4Artifacts:
     def test_roundtrip_exact_and_packed(self, tmp_path, rng):
         w = jax.random.normal(rng, (128, 24))
