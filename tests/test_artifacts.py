@@ -61,4 +61,18 @@ def test_all_schemes_above_chance_and_near_fp32(track, lo, hi):
     for name, r in acc.items():
         assert r["top1"] > 3 * chance, f"{track}/{name} is at chance"
         delta_pt = (acc["fp32"]["top1"] - r["top1"]) * 100
-        assert delta_pt <= 1.0, f"{track}/{name} delta {delta_pt:+.2f}pt"
+        # int4 is the declared-lossy sub-byte tier: a looser bound applies
+        bound = 2.0 if name == "weight_only_int4" else 1.0
+        assert delta_pt <= bound, f"{track}/{name} delta {delta_pt:+.2f}pt"
+
+
+@pytest.mark.parametrize("track,lo,hi", TRACKS)
+def test_int4_tier_present_and_measured(track, lo, hi):
+    """The sub-byte tier ships with a measured accuracy row (artifacts
+    regenerated after the int4 scheme landed include it)."""
+    acc = _load(track)
+    if "weight_only_int4" not in acc:
+        pytest.skip(f"{track} artifacts predate the int4 tier")
+    r = acc["weight_only_int4"]
+    n_classes = len(acc["fp32"].get("per_class", {})) or 10
+    assert r["top1"] > 3.0 / max(n_classes, 2)
