@@ -9,6 +9,10 @@ from __future__ import annotations
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/quantnet_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 T0 = time.time()

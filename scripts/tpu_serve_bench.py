@@ -1,8 +1,10 @@
 """Continuous-batching serving load test on the real chip.
 
 Drives quantnet/serve/server.py::InferenceEngine with concurrent
-single-image submitters (static-INT8 SimpleConvNet artifact) and reports
-sustained request throughput, latency percentiles, and batch occupancy.
+single-image submitters (static-INT8 artifact) and reports sustained
+request throughput, latency percentiles, and batch occupancy.
+
+Usage: python scripts/tpu_serve_bench.py [convnet|resnet50] [requests_per_client]
 
 Note on absolute numbers: each dispatched batch pays a host<->device round
 trip; on a tunnel-attached device that round trip dominates single-request
@@ -27,30 +29,44 @@ def log(m):
 
 
 def main():
-    from quantnet.models import convnet
+    import sys
+
+    from quantnet.models import convnet, resnet
     from quantnet.quantize import static
     from quantnet.serve.server import InferenceEngine
 
+    model = sys.argv[1] if len(sys.argv) > 1 else "convnet"
+    per_thread = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     rng = jax.random.PRNGKey(0)
-    params, state = convnet.init(rng)
-    calib = jax.random.normal(jax.random.PRNGKey(1), (256, 32, 32, 3), jnp.float32)
+    if model == "resnet50":
+        apply_fn = resnet.apply
+        size, buckets = 64, (1, 8, 32, 128)
+        params, state = resnet.init(rng, num_classes=100, depth=50)
+    else:
+        apply_fn = convnet.apply
+        size, buckets = 32, (1, 8, 32, 128, 512)
+        params, state = convnet.init(rng)
+    calib = jax.random.normal(
+        jax.random.PRNGKey(1), (128, size, size, 3), jnp.float32
+    )
     qp, qs = static.quantize(
-        params, state, convnet.apply, [(calib, None)], skip_first_layer=True
+        params, state, apply_fn, [(calib, None)], skip_first_layer=True
     )
     jax.block_until_ready(qp)
-    log("quantized; starting engine (precompiling buckets)")
+    log(f"quantized {model}; starting engine (precompiling buckets)")
 
     with InferenceEngine(
-        convnet.apply, qp, qs, buckets=(1, 8, 32, 128, 512), max_wait_ms=2.0
+        apply_fn, qp, qs, image_shape=(size, size, 3), buckets=buckets,
+        max_wait_ms=2.0,
     ) as eng:
         log("warm; load test")
         # Open-loop-ish load: each client keeps a window of in-flight async
         # submissions (closed-loop predict() would cap throughput at
         # n_clients / round-trip regardless of engine batching).
-        n_threads, per_thread, window = 8, 2000, 64
+        n_threads, window = 8, 64
         lat = []
         lock = threading.Lock()
-        img = np.random.default_rng(0).normal(size=(32, 32, 3)).astype(np.float32)
+        img = np.random.default_rng(0).normal(size=(size, size, 3)).astype(np.float32)
 
         def client():
             mine = []
