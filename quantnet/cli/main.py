@@ -114,21 +114,36 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
     calib = list(train_data.batches(args.batch_size, drop_remainder=True))[
         : args.calibration_batches
     ]
+    from quantnet.quantize.fold import fold_model_jit
+
     out = {}
     out["bf16"] = bf16.quantize(params, state)
     out["dynamic"] = dynamic.quantize(params, state)
-    out["static"] = static.quantize(
-        params, state, apply_fn, calib, observer=args.observer,
-        skip_first_layer=getattr(args, "skip_first_layer", False),
-        pre_add_quant=getattr(args, "pre_add_quant", False),
+    # One calibration pass serves every static-activation tier (INT8 + W4A8).
+    skip_first = getattr(args, "skip_first_layer", False)
+    pre_add = getattr(args, "pre_add_quant", False)
+    fparams, fstate = fold_model_jit(params, state)
+    act_qparams = static.calibrate(
+        apply_fn, fparams, fstate, calib, observer=args.observer,
+        include_output_stats=pre_add,
+    )
+    out["static"] = static.bake(
+        fparams, fstate, act_qparams,
+        skip_first_layer=skip_first, pre_add_quant=pre_add,
     )
     out["weight_only"] = weight_only.quantize(params, state)
     # Sub-byte tier (beyond the reference): 4-bit weights with group-wise
     # scales on linear layers — ~8x weight compression at the same epilogue
     # cost; see quantnet/quantize/weight_only.py.
+    int4_gs = getattr(args, "int4_group_size", 128) or None
     out["weight_only_int4"] = weight_only.quantize(
-        params, state, bits=4,
-        group_size=getattr(args, "int4_group_size", 128) or None,
+        params, state, bits=4, group_size=int4_gs,
+    )
+    # W4A8: 4-bit weights INSIDE the static int8-activation MXU path —
+    # sub-byte size AND static's speedup (quantnet/quantize/static.py).
+    out["w4a8"] = static.bake(
+        fparams, fstate, act_qparams,
+        skip_first_layer=skip_first, weight_bits=4, weight_group_size=int4_gs,
     )
     importance = getattr(args, "importance", None) or (
         # Measured sensitivity needs one trace per layer; default to the
@@ -140,6 +155,7 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
         calib[: max(args.calibration_batches // 4, 1)],
         importance=importance,
         low_precision_scheme=getattr(args, "optimized_low_tier", "weight_only"),
+        int4_group_size=int4_gs,
     )
     out["optimized"] = (qp, qs)
     out["_policy"] = policy
@@ -276,7 +292,7 @@ def _collect_models(args):
     )
     models = {}
     for name in ["fp32", "bf16", "dynamic", "static", "weight_only",
-                 "weight_only_int4", "optimized", "qat"]:
+                 "weight_only_int4", "w4a8", "optimized", "qat"]:
         path = _artifact_path(args.save_dir, name)
         if os.path.exists(path + ".json"):
             tree, _ = ckpt.load_artifact(path)
@@ -512,7 +528,7 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--scheme", default="all",
                     choices=["all", "bf16", "dynamic", "static", "weight_only",
-                             "weight_only_int4", "optimized"])
+                             "weight_only_int4", "w4a8", "optimized"])
     sp.add_argument("--observer", default="minmax",
                     choices=["minmax", "moving_average", "histogram", "mse"])
     sp.add_argument("--calibration-batches", type=int, default=16)

@@ -94,6 +94,10 @@ class Evaluator:
             "top1": top1 / max(total, 1.0),
             "top5": topk / max(total, 1.0),
             "n": int(total),
+            # Recorded explicitly so result consumers (tests/test_artifacts.py
+            # chance thresholds) never infer the class count from the
+            # per_class dict, which omits classes absent from the eval split.
+            "num_classes": self.num_classes,
             "per_class": per_class,
         }
 

@@ -175,6 +175,16 @@ def conv2d(
             y = y + b
         return maybe_requantize(_apply_act(y, activation), out_quant)
 
+    if w.group_size is not None:
+        # Group-wise scales along the reduction have no conv kernel (the
+        # conv can't split its reduction per group without G separate
+        # convs); quantize_weight never groups 4-D kernels — convs take the
+        # per-channel sub-byte fallback — so fail loudly on hand-built trees.
+        raise NotImplementedError(
+            "group-wise quantized conv weights are unsupported; use "
+            "per-channel (quantize_weight groups 2-D weights only)"
+        )
+
     kh, kw = w.values.shape[0], w.values.shape[1]
     if padding == "SAME":
         pads = _same_pads(x.shape[1], x.shape[2], kh, kw, stride)

@@ -64,6 +64,25 @@ def _int8_matmul(qx: jax.Array, qw: jax.Array) -> jax.Array:
     )
 
 
+def _int8_matmul_batched(qx: jax.Array, qw: jax.Array) -> jax.Array:
+    """G-batched int8 GEMM: int8[G,M,g] x int8[G,g,N] -> [G,M,N] accumulator.
+
+    The reduction-split form used by the grouped (W4A8) static path. Backend
+    rule as _int8_matmul, except 'pallas' falls back to the native XLA batched
+    dot (the Pallas GEMM kernel is unbatched; G extra kernel launches would
+    cost more than they save on these shapes).
+    """
+    dn = (((2,), (1,)), ((0,), (0,)))
+    if cfg.resolve_matmul_backend() == "emulate":
+        return jax.lax.dot_general(
+            qx.astype(jnp.float32),
+            qw.astype(jnp.float32),
+            dn,
+            preferred_element_type=jnp.float32,
+        )
+    return jax.lax.dot_general(qx, qw, dn, preferred_element_type=jnp.int32)
+
+
 def linear(
     layer: dict,
     x: jax.Array,
@@ -128,6 +147,18 @@ def linear(
             y = y + b
         return maybe_requantize(_apply_act(y, activation), out_quant)
 
+    if w.group_size is not None and not isinstance(aq, ActQuant):
+        # Group-wise weights are supported on the weight-only path (handled
+        # above) and the static path (grouped int8 GEMM below, the W4A8
+        # tier). A grouped weight on the dynamic path has no kernel — fail
+        # at trace time rather than silently broadcasting the (K//g, 1, N)
+        # scale into a wrong-shaped output.
+        raise NotImplementedError(
+            "group-wise quantized weights require a frozen ActQuant (static "
+            "W4A8 path) or no activation quant (weight-only path); got "
+            f"{type(aq).__name__}"
+        )
+
     if isinstance(aq, DynamicActQuant):
         if cfg.resolve_matmul_backend() == "pallas":
             # Fully-fused Pallas path: absmax + quantize + int8 GEMM +
@@ -158,6 +189,28 @@ def linear(
         # Static: frozen asymmetric input quant. (qx - zp) @ qw expands to
         # qx @ qw - zp * colsum(qw); colsum precomputed at quantize time.
         qx = x if x.dtype == jnp.int8 else quantize_affine(x, aq.scale, aq.zero_point)
+        if w.group_size is not None:
+            # W4A8: group-wise sub-byte weights inside the int8 MXU path.
+            # The dequant scale varies along the reduction axis, so the K
+            # reduction splits per group: a G-batched s8 x s8 -> s32
+            # dot_general (still the MXU int8 path), per-group zero-point
+            # correction via the (G, N) colsums, then the group scales fold
+            # into the f32 combine-over-G — which XLA fuses with the batched
+            # matmul's output, so the (G, M, N) accumulator never lives in
+            # HBM at full f32 width.
+            g = w.group_size
+            m, k = qx.shape
+            n = w.values.shape[1]
+            qx_g = qx.reshape(m, k // g, g).transpose(1, 0, 2)  # (G, M, g)
+            qw_g = w.values.reshape(k // g, g, n)  # (G, g, N)
+            acc = _int8_matmul_batched(qx_g, qw_g)  # (G, M, N)
+            wsum = layer["wsum"]  # int32[G, N] per-group colsums
+            acc = acc - aq.zero_point * wsum[:, None, :]
+            # w.scale is (G, 1, N): broadcasts over M in the combine.
+            y = jnp.sum(acc.astype(out_dtype) * w_scale, axis=0) * aq.scale
+            if b is not None:
+                y = y + b
+            return maybe_requantize(_apply_act(y, activation), out_quant)
         acc = _int8_matmul(qx, w.values)
         wsum = layer["wsum"]  # int32[N] = sum_k qw[k, n]
         acc = acc - aq.zero_point * wsum

@@ -52,21 +52,37 @@ def quantize_weight(
     group_size switches 2-D (linear K x N) weights to group-wise scales along
     the reduction axis K — the sub-byte (bits=4) accuracy recipe; conv kernels
     (4-D HWIO, where axis 0 is kernel height, not the reduction) and
-    non-dividing K fall back to per-channel."""
-    if group_size is not None and w.ndim == 2 and w.shape[0] % group_size == 0:
+    non-dividing K fall back to per-channel. Group-wise scales are a
+    *refinement* of per-channel (they still vary along the output channel),
+    so the grouped branch only engages when per_channel is requested — a
+    caller asking for per-tensor quantization gets per-tensor, group_size or
+    not."""
+    if (
+        per_channel
+        and group_size is not None
+        and w.ndim == 2
+        and w.shape[0] % group_size == 0
+    ):
         return quantize_symmetric_grouped(w, group_size, bits=bits)
     axis = (w.ndim - 1) if per_channel else None
     return quantize_symmetric(w, axis=axis, bits=bits)
 
 
 def weight_colsum(qw: QTensor) -> jnp.ndarray:
-    """Per-output-channel sum of int8 weight values (int32[O]).
+    """Per-output-channel sum of int8 weight values.
 
     Precomputed zero-point correction term for the static path:
     (qx - zp) * qw needs zp * sum(qw) — computed once at quantize time,
-    never in the hot loop.
+    never in the hot loop. Shape int32[O] for per-tensor/per-channel
+    weights; int32[G, O] (one colsum per row group) for group-wise weights,
+    whose dequant scale varies along the reduction so the correction must
+    stay per-group (quantnet/ops/linear.py grouped static path).
     """
     v = qw.values.astype(jnp.int32)
+    if qw.group_size is not None:
+        g = qw.group_size
+        v = v.reshape(v.shape[0] // g, g, *v.shape[1:])
+        return jnp.sum(v, axis=1)
     red = tuple(range(v.ndim - 1))
     return jnp.sum(v, axis=red)
 

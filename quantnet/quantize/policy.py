@@ -117,12 +117,14 @@ def quantize_optimized(
     keep_fp32_fraction: float = 0.25,
     per_channel: bool = True,
     low_precision_scheme: str = "weight_only",  # or "int4"
+    int4_group_size: Optional[int] = 128,
 ) -> Tuple[dict, dict, Dict[str, str]]:
     """The end-to-end "optimized" scheme: analyze -> policy -> quantize.
 
     Returns (qparams, qstate, policy) so reports can show the chosen table.
     low_precision_scheme="int4" drops the least-sensitive layers to the
-    group-wise 4-bit tier instead of int8.
+    group-wise 4-bit tier instead of int8; int4_group_size sets that tier's
+    scale granularity (None = per-channel only).
     """
     fparams, fstate = fold_model_jit(params, state)
     paths = layer_paths(fparams)
@@ -137,12 +139,17 @@ def quantize_optimized(
         keep_fp32_fraction=keep_fp32_fraction,
         low_precision_scheme=low_precision_scheme,
     )
-    qparams, qstate = _apply_policy(fparams, fstate, tuple(sorted(policy.items())), per_channel)
+    qparams, qstate = _apply_policy(
+        fparams, fstate, tuple(sorted(policy.items())), per_channel,
+        int4_group_size,
+    )
     return qparams, qstate, policy
 
 
-@partial(jax.jit, static_argnames=("policy_items", "per_channel"))
-def _apply_policy(fparams, fstate, policy_items, per_channel):
+@partial(
+    jax.jit, static_argnames=("policy_items", "per_channel", "int4_group_size")
+)
+def _apply_policy(fparams, fstate, policy_items, per_channel, int4_group_size=128):
     """Mixed-precision bake: per-layer action from the policy table —
     'fp32' keep, 'bf16' cast weights (ops' narrow-dtype rule pulls the
     layer's activations down), 'int4' group-wise 4-bit weight-only (the
@@ -163,7 +170,9 @@ def _apply_policy(fparams, fstate, policy_items, per_channel):
                 out["b"] = out["b"].astype(jnp.bfloat16)
             return out
         if action == "int4":
-            out["w"] = quantize_weight(layer["w"], per_channel, bits=4, group_size=128)
+            out["w"] = quantize_weight(
+                layer["w"], per_channel, bits=4, group_size=int4_group_size
+            )
             return out
         out["w"] = quantize_weight(layer["w"], per_channel)
         return out

@@ -100,8 +100,20 @@ def quantize(
     pre_add_quant: bool = False,
     layer_policy: Optional[dict] = None,
     last_layer_name: Optional[str] = None,
+    weight_bits: int = 8,
+    weight_group_size: Optional[int] = None,
 ) -> Tuple[dict, dict]:
     """FP32 (params, state) -> statically-quantized (params', {}).
+
+    weight_bits=4 (+ weight_group_size, e.g. 128) is the **W4A8 tier**:
+    4-bit weights — group-wise scales on linear reductions, per-channel on
+    conv kernels — running inside the SAME int8-activation MXU path as
+    plain static PTQ (quantnet/ops/linear.py grouped static branch), so the
+    sub-byte size win no longer forfeits static's speedup. Artifacts stay
+    nibble-packed on disk (quantnet/train/checkpoint.py). This realizes the
+    mixed-precision intent of the reference's optimized scheme
+    (models/optimized_custom_quantization.py:105-128) at a level its
+    all-identical-qconfig implementation never reached.
 
     Two device programs total: the BN fold (jitted) and the weight-quant bake
     (jitted), plus one jitted calibration step per batch in between.
@@ -124,10 +136,43 @@ def quantize(
         apply_fn, params, state, calibration_batches, observer=observer,
         include_output_stats=pre_add_quant,
     )
+    return bake(
+        params, state, act_qparams,
+        per_channel=per_channel, skip_last_layer=skip_last_layer,
+        skip_first_layer=skip_first_layer, pre_add_quant=pre_add_quant,
+        layer_policy=layer_policy, last_layer_name=last_layer_name,
+        weight_bits=weight_bits, weight_group_size=weight_group_size,
+    )
+
+
+def bake(
+    params: dict,
+    state: dict,
+    act_qparams: Dict[str, Tuple[jax.Array, jax.Array]],
+    *,
+    per_channel: bool = True,
+    skip_last_layer: bool = False,
+    skip_first_layer: bool = False,
+    pre_add_quant: bool = False,
+    layer_policy: Optional[dict] = None,
+    last_layer_name: Optional[str] = None,
+    weight_bits: int = 8,
+    weight_group_size: Optional[int] = None,
+) -> Tuple[dict, dict]:
+    """Bake a statically-quantized tree from already-calibrated activation
+    qparams. `params` must be BN-folded (the same tree calibrate() saw).
+
+    Public so callers can share ONE calibration pass across several weight
+    precision tiers — e.g. the experiment pipeline bakes static INT8 and
+    W4A8 from the same observer statistics (quantnet/cli/main.py), paying
+    the per-batch calibration programs once."""
+    if weight_bits not in (8, 4):
+        raise ValueError(f"weight_bits must be 8 or 4, got {weight_bits}")
     policy_items = tuple(sorted(layer_policy.items())) if layer_policy else None
     qparams, qstate = _bake(
         params, state, act_qparams, per_channel, skip_last_layer,
         skip_first_layer, pre_add_quant, policy_items, last_layer_name,
+        weight_bits, weight_group_size,
     )
     _validate_sibling_domains(qparams)
     return qparams, qstate
@@ -177,11 +222,12 @@ def _validate_sibling_domains(qparams: dict) -> None:
     jax.jit,
     static_argnames=(
         "per_channel", "skip_last_layer", "skip_first_layer", "pre_add_quant",
-        "policy_items", "last_layer_name",
+        "policy_items", "last_layer_name", "weight_bits", "weight_group_size",
     ),
 )
 def _bake(params, state, act_qparams, per_channel, skip_last_layer,
-          skip_first_layer, pre_add_quant, policy_items, last_layer_name):
+          skip_first_layer, pre_add_quant, policy_items, last_layer_name,
+          weight_bits=8, weight_group_size=None):
     last = last_layer_name or last_layer_path(params)
     first = first_layer_path(params)
     layer_policy = dict(policy_items) if policy_items else None
@@ -204,7 +250,10 @@ def _bake(params, state, act_qparams, per_channel, skip_last_layer,
         ):
             return dict(layer)
         out = dict(layer)
-        qw = quantize_weight(layer["w"], per_channel)
+        qw = quantize_weight(
+            layer["w"], per_channel, bits=weight_bits,
+            group_size=weight_group_size,
+        )
         out["w"] = qw
         scale, zp = act_qparams[path]
         out["aq"] = ActQuant(scale=scale, zero_point=zp)

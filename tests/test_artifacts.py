@@ -53,16 +53,24 @@ def test_static_int8_delta_within_bound(track, lo, hi):
     )
 
 
+def _num_classes(acc):
+    # num_classes is recorded explicitly by the evaluator; fall back to the
+    # per_class dict only for artifacts that predate the field (it may hold
+    # a subset of classes when some never appear in the eval split).
+    return acc["fp32"].get("num_classes") or len(
+        acc["fp32"].get("per_class", {})
+    ) or 10
+
+
 @pytest.mark.parametrize("track,lo,hi", TRACKS)
 def test_all_schemes_above_chance_and_near_fp32(track, lo, hi):
     acc = _load(track)
-    n_classes = len(acc["fp32"].get("per_class", {})) or 10
-    chance = 1.0 / max(n_classes, 2)
+    chance = 1.0 / max(_num_classes(acc), 2)
     for name, r in acc.items():
         assert r["top1"] > 3 * chance, f"{track}/{name} is at chance"
         delta_pt = (acc["fp32"]["top1"] - r["top1"]) * 100
-        # int4 is the declared-lossy sub-byte tier: a looser bound applies
-        bound = 2.0 if name == "weight_only_int4" else 1.0
+        # sub-byte weight tiers are declared lossy: a looser bound applies
+        bound = 2.0 if name in ("weight_only_int4", "w4a8") else 1.0
         assert delta_pt <= bound, f"{track}/{name} delta {delta_pt:+.2f}pt"
 
 
@@ -74,5 +82,4 @@ def test_int4_tier_present_and_measured(track, lo, hi):
     if "weight_only_int4" not in acc:
         pytest.skip(f"{track} artifacts predate the int4 tier")
     r = acc["weight_only_int4"]
-    n_classes = len(acc["fp32"].get("per_class", {})) or 10
-    assert r["top1"] > 3.0 / max(n_classes, 2)
+    assert r["top1"] > 3.0 / max(_num_classes(acc), 2)

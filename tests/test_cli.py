@@ -33,7 +33,8 @@ def workdir(tmp_path_factory):
 
 def test_experiment_writes_all_artifacts(workdir):
     save, results, _ = workdir
-    for scheme in ("fp32", "bf16", "dynamic", "static", "weight_only", "optimized"):
+    for scheme in ("fp32", "bf16", "dynamic", "static", "weight_only",
+                   "weight_only_int4", "w4a8", "optimized"):
         assert os.path.exists(os.path.join(save, f"{scheme}.json")), scheme
         assert os.path.exists(os.path.join(save, f"{scheme}.npz")), scheme
     for artifact in (
@@ -47,7 +48,8 @@ def test_accuracy_json_contract(workdir):
     _, results, _ = workdir
     with open(os.path.join(results, "accuracy.json")) as f:
         acc = json.load(f)
-    assert set(acc) >= {"fp32", "static", "dynamic", "weight_only", "optimized"}
+    assert set(acc) >= {"fp32", "static", "dynamic", "weight_only",
+                        "weight_only_int4", "w4a8", "optimized"}
     for row in acc.values():
         assert 0.0 <= row["top1"] <= 1.0
         assert row["top5"] >= row["top1"]
