@@ -133,6 +133,20 @@ class Dataset:
         idx = np.arange(n)
         if shuffle:
             np.random.default_rng(seed).shuffle(idx)
+        if self.raw_u8 is not None and drop_remainder and pc and pc > 1:
+            # Multi-host: every process slices the same seeded global
+            # permutation, and the per-process index batches ride the SAME
+            # native assembler + prefetch thread as single-process training
+            # (identical batches to the generic path below, by construction:
+            # same rng, same slicing).
+            end = n - (n % batch_size)
+            lbs = batch_size // pc
+            sels = [
+                idx[s + pi * lbs : s + (pi + 1) * lbs]
+                for s in range(0, end, batch_size)
+            ]
+            yield from self._batcher().prefetch_batches(sels, seed=seed)
+            return
         end = n - (n % batch_size) if drop_remainder else n
         for start in range(0, end, batch_size):
             sel = idx[start : start + batch_size]
@@ -266,7 +280,10 @@ def _find_imagenet_dir(data_dir: str) -> Optional[str]:
 
 
 def _load_imagenet_real(
-    val_dir: str, image_size: int, max_images: Optional[int] = None
+    val_dir: str,
+    image_size: int,
+    max_images: Optional[int] = None,
+    num_workers: Optional[int] = None,
 ) -> Dataset:
     """Decode an ImageFolder-layout val split (val/<wnid>/*.JPEG) with PIL:
     Resize(256) -> CenterCrop(image_size) — the reference's val transform
@@ -274,13 +291,17 @@ def _load_imagenet_real(
     batch-assembly time in the native loader.
 
     u8-resident streaming decode: the file list is enumerated first, the
-    uint8 output array is preallocated once, and images decode one at a time
-    into it — peak host RSS for a 50k x 224^2 split is bounded at ~7.5 GB
-    (u8) instead of ~30 GB (the round-1 float32 materialization of the whole
-    split). Batches are then gathered + normalized by the C++ batch
-    assembler (native/dataloader.cpp) exactly like the CIFAR path — the TPU
-    equivalent of the reference's streaming DataLoader with workers
-    (utils/dataset_manager.py:62-90)."""
+    uint8 output array is preallocated once, and a thread pool decodes
+    images directly into their rows (PIL releases the GIL inside
+    decode/resize, so threads scale) — the worker-parallel decode of the
+    reference's num_workers=4 DataLoader (utils/dataset_manager.py:83).
+    Peak host RSS for a 50k x 224^2 split stays bounded at ~7.5 GB (u8)
+    instead of ~30 GB (a float32 materialization of the whole split).
+    Batches are then gathered + normalized by the C++ batch assembler
+    (native/dataloader.cpp) exactly like the CIFAR path. num_workers
+    defaults to QUANTNET_DECODE_WORKERS or 4 (the reference's default)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
 
     classes = sorted(
@@ -299,7 +320,9 @@ def _load_imagenet_real(
     resize = int(image_size * 256 / 224)
     x = np.empty((len(files), image_size, image_size, 3), np.uint8)
     labels = np.empty((len(files),), np.int32)
-    for i, (path, ci) in enumerate(files):
+
+    def decode(i: int) -> None:
+        path, ci = files[i]
         img = Image.open(path).convert("RGB")
         w, h = img.size
         s = resize / min(w, h)
@@ -307,8 +330,18 @@ def _load_imagenet_real(
         w, h = img.size
         left, top = (w - image_size) // 2, (h - image_size) // 2
         img = img.crop((left, top, left + image_size, top + image_size))
-        x[i] = np.asarray(img, np.uint8)
+        x[i] = np.asarray(img, np.uint8)  # disjoint rows: thread-safe
         labels[i] = ci
+
+    if num_workers is None:
+        num_workers = int(os.environ.get("QUANTNET_DECODE_WORKERS", "4"))
+    if num_workers <= 1:
+        for i in range(len(files)):
+            decode(i)
+    else:
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            # list() so the first worker exception propagates, not drops
+            list(pool.map(decode, range(len(files))))
     return Dataset(
         None, labels, len(classes), "imagenet-val",
         raw_u8=x, mean=IMAGENET_MEAN, std=IMAGENET_STD,

@@ -113,3 +113,40 @@ def test_process_shard_requires_static_batches():
                 drop_remainder=True,
             )
         )
+
+
+def test_process_shard_native_prefetch_path_matches_generic():
+    """VERDICT round 2 #7: with u8-resident storage the multi-host path must
+    ride the native assembler + prefetch thread, and still produce exactly
+    the per-process slices of the same seeded global permutation the generic
+    path yields (disjoint, ordered, covering)."""
+    import numpy as np
+
+    from quantnet.data.datasets import CIFAR10_MEAN, CIFAR10_STD, Dataset
+
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, (48, 16, 16, 3), dtype=np.uint8)
+    labels = rng.integers(0, 10, 48).astype(np.int32)
+    ds = Dataset(None, labels, 10, "u8-ps", raw_u8=raw,
+                 mean=CIFAR10_MEAN, std=CIFAR10_STD)
+
+    # generic reference (48 % 8 == 0, so no remainder handling either way)
+    global_batches = list(ds.batches(8, shuffle=True, seed=3))
+    per_proc = [
+        list(
+            ds.batches(
+                8, shuffle=True, seed=3, drop_remainder=True,
+                process_shard=True, process_index=pi, process_count=4,
+            )
+        )
+        for pi in range(4)
+    ]
+    assert all(len(b) == len(global_batches) for b in per_proc)
+    for bi, (gx, gy) in enumerate(global_batches):
+        xs = np.concatenate([per_proc[pi][bi][0] for pi in range(4)])
+        ys = np.concatenate([per_proc[pi][bi][1] for pi in range(4)])
+        np.testing.assert_array_equal(xs, gx)
+        np.testing.assert_array_equal(ys, gy)
+    # local slices have the local batch size and are normalized f32
+    assert per_proc[0][0][0].shape == (2, 16, 16, 3)
+    assert per_proc[0][0][0].dtype == np.float32

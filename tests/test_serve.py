@@ -158,3 +158,50 @@ def test_dispatch_overlaps_device_fetch(small_model):
             f.result(timeout=120)
         batches = eng.stats["batches"]
     assert batches < 64, f"no coalescing: {batches} batches for 64 requests"
+
+
+def test_burst_slo_occupancy_and_p95(small_model):
+    """SLO regression pin (VERDICT round 2): under a bursty arrival pattern
+    the engine must hold batch occupancy above a floor AND keep p95 latency
+    within a small multiple of the per-batch device cost. The 48x-slow
+    failure mode this guards against (dispatcher serving queued requests one
+    at a time) pushes p95 to ~(n_requests x batch_time) — far outside the
+    bound — and occupancy stays high there, which is why occupancy alone is
+    not a sufficient guard."""
+    import time
+
+    apply_fn, params, state = small_model
+    rng = np.random.default_rng(3)
+    # Direct per-batch cost at the largest bucket (compile excluded).
+    xb = rng.normal(size=(32, 32, 32, 3)).astype(np.float32)
+    fwd = jax.jit(lambda p, s, x: apply_fn(p, s, x, train=False)[0])
+    np.asarray(fwd(params, state, xb))  # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(fwd(params, state, xb))
+    t_batch = (time.perf_counter() - t0) / 3
+
+    with InferenceEngine(
+        apply_fn, params, state, buckets=(1, 8, 32), max_wait_ms=1.0,
+        precompile=True,
+    ) as eng:
+        futs = []
+        for _burst in range(3):  # 3 bursts of 32, back to back
+            futs += [
+                eng.submit(rng.normal(size=(32, 32, 3)).astype(np.float32))
+                for _ in range(32)
+            ]
+            time.sleep(0.005)
+        for f in futs:
+            f.result(timeout=120)
+        stats = eng.latency_stats()
+        occ = eng.occupancy()
+    assert stats["n"] == 96
+    assert occ >= 0.5, f"burst occupancy collapsed: {occ:.2f}"
+    # Worst queued request waits ~(#batches in flight) x t_batch; give 12x
+    # plus scheduling slack. One-at-a-time dispatch would be ~90x t_batch.
+    bound_ms = 12 * t_batch * 1e3 + 100.0
+    assert stats["p95_ms"] <= bound_ms, (
+        f"p95 {stats['p95_ms']:.1f}ms exceeds SLO bound {bound_ms:.1f}ms "
+        f"(t_batch {t_batch*1e3:.1f}ms, occupancy {occ:.2f})"
+    )
