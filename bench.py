@@ -1,4 +1,4 @@
-"""Driver benchmark: INT8 static-PTQ SimpleConvNet throughput on real hardware.
+"""Driver benchmark: INT8 dynamic-PTQ SimpleConvNet throughput on real hardware.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
@@ -6,6 +6,14 @@ Prints ONE JSON line:
 vs_baseline compares against the reference's best published throughput number
 (custom-quant INT8 @ bs=32: 1724.14 img/s — BASELINE.md, from the reference's
 own report generator analyze_results.py:241-242).
+
+Deployment config: dynamic INT8 with bf16 inter-layer handoff — the measured
+winner on SimpleConvNet at 32x32 (head-to-head, scripts/tpu_r3_sweep.py:
+dynamic 1.905 ms p50 vs static-fp32-stem 2.027 ms @ bs1024; accuracy +0.16pt
+vs fp32 on the committed CIFAR-track artifacts). At these tiny spatial dims
+the inter-layer tensors dominate, and the per-batch scale avoids static's
+zero-point padding work (docs/PERF.md "deployment config"). ResNet-50 at 224
+keeps static INT8 (2.04x fp32 there, where dynamic is 0.97x).
 """
 from __future__ import annotations
 
@@ -28,23 +36,18 @@ def main() -> None:
     # axon backend, cache deserialization has been observed to hang
     # intermittently, which is worse than the cold-compile cost it saves.
 
-    import jax.numpy as jnp
-
     from quantnet.bench.benchmark import InferenceBenchmark
     from quantnet.models import convnet
-    from quantnet.quantize import static
+    from quantnet.quantize import dynamic
 
     _log(f"devices: {jax.devices()}")
     rng = jax.random.PRNGKey(0)
     params, state = convnet.init(rng)
-    calib = jax.random.normal(jax.random.PRNGKey(1), (256, 32, 32, 3), jnp.float32)
-    _log("init done; quantizing (static PTQ, fp32-stem deployment policy)")
-    # skip_first_layer: the C=3 stem computes fp32 with an int8 handoff out —
-    # the standard static-PTQ deployment policy; faster AND more accurate on
-    # TPU (docs/PERF.md "first-layer policy").
-    qparams, qstate = static.quantize(
-        params, state, convnet.apply, [(calib, None)], skip_first_layer=True
-    )
+    _log("init done; quantizing (dynamic PTQ, bf16 handoff — deployment config)")
+    # No calibration pass: dynamic scales are per-batch. This also removes
+    # the calibration program's cold-compile exposure from the headline run
+    # (r02 lost 360s of init time to tunnel variance there).
+    qparams, qstate = dynamic.quantize(params, state)
     jax.block_until_ready(qparams)
     _log("quantize done; benchmarking")
 
@@ -62,7 +65,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "cifar10_convnet_int8_static_throughput_bs1024",
+                "metric": "cifar10_convnet_int8_dynamic_throughput_bs1024_p50",
                 "value": round(value, 2),
                 "unit": "img/s",
                 "vs_baseline": round(value / BASELINE_IMG_S, 3),

@@ -104,7 +104,10 @@ def time_chained(
     per_iter = []
     for _ in range(windows):
         t = _fetch_time_ms(fn, *args, n_long)
-        per_iter.append(max(t - base, 0.0) / (long_iters - short_iters))
+        # Floor at 1us/iter: under extreme host contention a long-chain
+        # fetch can wall-time below the short-chain minimum, and a 0.0 here
+        # poisons every derived throughput with a ZeroDivisionError.
+        per_iter.append(max(t - base, 1e-3) / (long_iters - short_iters))
     s = sorted(per_iter)
     return {
         "mean_ms": statistics.fmean(per_iter),

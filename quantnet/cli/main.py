@@ -455,12 +455,22 @@ def cmd_report(args):
 
 
 def cmd_experiment(args):
-    """Full pipeline: the fixed run_experiment.py."""
+    """Full pipeline: the fixed run_experiment.py. With --qat-epochs > 0
+    (default 2) the QAT finetune runs after PTQ quantization, so the
+    evaluate/bench/report stages cover the COMPLETE scheme matrix — PTQ
+    tiers and QAT — in one run."""
     loaded = _load_fp32(args) if args.skip_training else None
     if loaded is None:
         cmd_train(args)
     args.scheme = "all"
     cmd_quantize(args)
+    qat_epochs = getattr(args, "qat_epochs", 0)
+    if qat_epochs > 0:
+        qat_args = argparse.Namespace(**vars(args))
+        qat_args.epochs = qat_epochs
+        # finetune lr: ~1/10 of from-scratch (the qat subcommand's default)
+        qat_args.lr = args.lr * 0.1
+        cmd_qat(qat_args)
     cmd_evaluate(args)
     cmd_bench(args)
     cmd_report(args)
@@ -614,6 +624,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--optimizer", default="sgd_cosine",
                     choices=["sgd_cosine", "adam_plateau"])
     sp.add_argument("--skip-training", action="store_true")
+    sp.add_argument("--qat-epochs", type=int, default=2,
+                    help="QAT finetune epochs after PTQ (0 disables; the qat "
+                         "artifact then joins evaluate/bench/report)")
     sp.add_argument("--observer", default="minmax")
     sp.add_argument("--calibration-batches", type=int, default=16)
     sp.add_argument("--skip-first-layer", action="store_true",

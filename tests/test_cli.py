@@ -34,7 +34,7 @@ def workdir(tmp_path_factory):
 def test_experiment_writes_all_artifacts(workdir):
     save, results, _ = workdir
     for scheme in ("fp32", "bf16", "dynamic", "static", "weight_only",
-                   "weight_only_int4", "w4a8", "optimized"):
+                   "weight_only_int4", "w4a8", "optimized", "qat"):
         assert os.path.exists(os.path.join(save, f"{scheme}.json")), scheme
         assert os.path.exists(os.path.join(save, f"{scheme}.npz")), scheme
     for artifact in (
@@ -49,7 +49,7 @@ def test_accuracy_json_contract(workdir):
     with open(os.path.join(results, "accuracy.json")) as f:
         acc = json.load(f)
     assert set(acc) >= {"fp32", "static", "dynamic", "weight_only",
-                        "weight_only_int4", "w4a8", "optimized"}
+                        "weight_only_int4", "w4a8", "optimized", "qat"}
     for row in acc.values():
         assert 0.0 <= row["top1"] <= 1.0
         assert row["top5"] >= row["top1"]
@@ -76,10 +76,12 @@ def test_serve_command(workdir, capsys):
 
 def test_skip_training_reuses_checkpoint(workdir, capsys):
     save, results, common = workdir
-    # second run with --skip-training must not retrain (fast path)
+    # second run with --skip-training must not retrain (fast path);
+    # --qat-epochs 0 so the QAT finetune's epoch logs don't mask a retrain
     main([
         "experiment", *common,
         "--epochs", "1", "--skip-training", "--calibration-batches", "2",
+        "--qat-epochs", "0",
         "--eval-batch-size", "32", "--batch-sizes", "8",
         "--iters", "2", "--warmup", "1", "--report-batch-size", "8",
     ])
