@@ -118,7 +118,11 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
 
     out = {}
     out["bf16"] = bf16.quantize(params, state)
-    out["dynamic"] = dynamic.quantize(params, state)
+    # per-tensor weight scales on request (the reference's engine default:
+    # torch default_dynamic_qconfig is per-tensor — SURVEY.md component 2);
+    # per-channel is this framework's default and measured-better config.
+    pc = not getattr(args, "per_tensor", False)
+    out["dynamic"] = dynamic.quantize(params, state, per_channel=pc)
     # One calibration pass serves every static-activation tier (INT8 + W4A8).
     skip_first = getattr(args, "skip_first_layer", False)
     pre_add = getattr(args, "pre_add_quant", False)
@@ -128,10 +132,10 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
         include_output_stats=pre_add,
     )
     out["static"] = static.bake(
-        fparams, fstate, act_qparams,
+        fparams, fstate, act_qparams, per_channel=pc,
         skip_first_layer=skip_first, pre_add_quant=pre_add,
     )
-    out["weight_only"] = weight_only.quantize(params, state)
+    out["weight_only"] = weight_only.quantize(params, state, per_channel=pc)
     # Sub-byte tier (beyond the reference): 4-bit weights with group-wise
     # scales on linear layers — ~8x weight compression at the same epilogue
     # cost; see quantnet/quantize/weight_only.py.
@@ -258,6 +262,7 @@ def cmd_qat(args):
     ]
     qp, qs = qat.prepare(
         params, state, apply_fn, calib, observer=args.observer,
+        per_channel=not getattr(args, "per_tensor", False),
         skip_first_layer=getattr(args, "skip_first_layer", False),
     )
     cfg = TrainConfig(
@@ -267,6 +272,10 @@ def cmd_qat(args):
         optimizer=args.optimizer,
         seed=args.seed,
         save_dir=args.save_dir,
+        # The BN-folded STE graph has no normalization left to damp an
+        # unlucky step; without clipping the finetune diverged on-chip
+        # (docs/PERF.md round 3, QAT stabilization).
+        grad_clip_norm=getattr(args, "grad_clip_norm", 1.0),
     )
     trainer = Trainer(apply_fn, qp, qs, cfg, train_data, test_data)
     qp, qs = trainer.train()  # best-accuracy tree, reloaded at train end
@@ -542,6 +551,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--observer", default="minmax",
                     choices=["minmax", "moving_average", "histogram", "mse"])
     sp.add_argument("--calibration-batches", type=int, default=16)
+    sp.add_argument("--per-tensor", action="store_true",
+                    help="per-tensor weight scales instead of per-channel "
+                         "(the reference engine's default; measurably "
+                         "lossier on convnets — see docs/ qat_recovery)")
     sp.add_argument("--int4-group-size", type=int, default=128,
                     help="weight_only_int4: group-wise scale granularity "
                          "along the reduction dim of linear layers "
@@ -571,6 +584,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--observer", default="minmax",
                     choices=["minmax", "moving_average", "histogram", "mse"])
     sp.add_argument("--calibration-batches", type=int, default=16)
+    sp.add_argument("--grad-clip-norm", type=float, default=1.0,
+                    help="global-norm gradient clip for the finetune "
+                         "(0 disables; the BN-folded STE graph diverges "
+                         "without it — docs/PERF.md round 3)")
+    sp.add_argument("--per-tensor", action="store_true",
+                    help="per-tensor weight fake quant (match a per-tensor "
+                         "deployed graph — see quantize --per-tensor)")
     sp.add_argument("--skip-first-layer", action="store_true",
                     help="keep the stem fp32 (deployment policy; see quantize)")
     sp.set_defaults(fn=cmd_qat)

@@ -122,6 +122,11 @@ class TrainConfig:
     # Linear lr warmup (epochs) into the cosine schedule — standard
     # from-scratch ResNet recipe; 0 keeps the reference's plain cosine.
     warmup_epochs: float = 0.0
+    # Global-norm gradient clipping; 0 disables. The QAT finetune sets this:
+    # training a BN-folded graph through clipped-STE fake quantization has no
+    # normalization layers left to damp an unlucky step, and measured on-chip
+    # runs diverged without it (docs/PERF.md round 3, QAT stabilization).
+    grad_clip_norm: float = 0.0
 
 
 @dataclass(frozen=True)

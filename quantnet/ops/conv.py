@@ -39,7 +39,7 @@ def _apply_act(y, activation: Optional[str]):
     raise ValueError(f"unknown activation {activation!r}")
 
 
-def _conv(x, w, stride, padding, out_dtype):
+def _conv(x, w, stride, padding, out_dtype, precision=None):
     return jax.lax.conv_general_dilated(
         x,
         w,
@@ -47,6 +47,7 @@ def _conv(x, w, stride, padding, out_dtype):
         padding=padding,
         dimension_numbers=DIMNUMS,
         preferred_element_type=out_dtype,
+        precision=precision,
     )
 
 
@@ -158,7 +159,13 @@ def conv2d(
 
         xq = fake_quant_act_ste(x, fq.scale, fq.zero_point)
         wq = fake_quant_weight_ste(w, per_channel=fq.per_channel)
-        y = _conv(xq, wq, stride, padding, out_dtype)
+        # HIGHEST precision: the deployed int8 graph this simulates is exact
+        # integer math; TPU default-bf16 conv noise inside the STE graph
+        # destabilizes the (normalization-free, BN-folded) finetune — the
+        # identical finetune converges on CPU f32 and collapsed on-chip
+        # (docs/PERF.md round 3, QAT stabilization).
+        y = _conv(xq, wq, stride, padding, out_dtype,
+                  precision=jax.lax.Precision.HIGHEST)
         if b is not None:
             y = y + b
         return maybe_requantize(_apply_act(y, activation), out_quant)

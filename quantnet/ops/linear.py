@@ -106,7 +106,11 @@ def linear(
 
         xq = fake_quant_act_ste(x, fq.scale, fq.zero_point)
         wq = fake_quant_weight_ste(w, per_channel=fq.per_channel)
-        y = jnp.dot(xq, wq, preferred_element_type=out_dtype)
+        # HIGHEST precision: see the matching QAT island note in
+        # quantnet/ops/conv.py::conv2d (TPU default-bf16 matmul noise
+        # destabilizes the BN-folded STE finetune).
+        y = jnp.dot(xq, wq, preferred_element_type=out_dtype,
+                    precision=jax.lax.Precision.HIGHEST)
         if b is not None:
             y = y + b
         return maybe_requantize(_apply_act(y, activation), out_quant)

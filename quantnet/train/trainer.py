@@ -33,6 +33,11 @@ from quantnet.data.datasets import Dataset
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+    clip = (
+        [optax.clip_by_global_norm(cfg.grad_clip_norm)]
+        if getattr(cfg, "grad_clip_norm", 0.0) > 0
+        else []
+    )
     if cfg.optimizer == "sgd_cosine":
         warmup_steps = int(
             getattr(cfg, "warmup_epochs", 0) * steps_per_epoch
@@ -51,6 +56,7 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
         else:
             schedule = optax.cosine_decay_schedule(cfg.lr, decay_steps=total)
         tx = optax.chain(
+            *clip,
             optax.add_decayed_weights(cfg.weight_decay),
             optax.sgd(schedule, momentum=cfg.momentum),
         )
@@ -59,6 +65,7 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
         # plateau factor applied outside jit via a scale state (reference
         # train_model.py ReduceLROnPlateau semantics)
         tx = optax.chain(
+            *clip,
             optax.scale_by_adam(),
             optax.inject_hyperparams(lambda lr: optax.scale(-lr))(lr=cfg.lr),
         )
