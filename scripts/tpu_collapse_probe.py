@@ -12,7 +12,11 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/tpu_collapse_probe.py
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -11,7 +11,11 @@ Run: timeout 1800 python scripts/tpu_qat_debug.py
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
