@@ -1,0 +1,127 @@
+"""QAT recovery demo on the real chip (VERDICT round-2 mandate #2).
+
+Round 2 measured a genuine static-PTQ collapse on an undertrained ResNet-50
+(-4.25pt with min-max observers, docs/results_tpu_v5e_resnet50/NOTE.md).
+The round-3 retrain of that 20-epoch checkpoint (runs/r3_collapse/saved/fp32,
+top-1 44.38% @ 64^2/100-class synthetic) no longer collapses under the
+deployment config (per-channel minmax, fp32 stem) — so this script probes the
+lossier granularities the reference engine itself defaults to (per-tensor
+weight scales, torch.quantization default_dynamic_qconfig semantics —
+/root/reference/models/dynamic_ptq_model.py:302-306) until it finds an
+honest >1pt collapse, then finetunes through fake quant from exactly that
+configuration (quantnet/quantize/qat.py, grad clip 1.0) and bakes the result
+into the same static artifact format.
+
+Writes docs/results_tpu_v5e_resnet50/qat_recovery/accuracy.json with
+{fp32, static, qat} rows (consumed by
+tests/test_artifacts.py::test_qat_recovers_static_ptq_collapse_on_chip).
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_qat_recovery.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+T0 = time.time()
+OUT = "docs/results_tpu_v5e_resnet50/qat_recovery"
+
+
+def log(msg):
+    print(f"[+{time.time() - T0:.0f}s] {msg}", flush=True)
+
+
+def main():
+    from quantnet.core.config import TrainConfig
+    from quantnet.data.datasets import load_imagenet
+    from quantnet.evaluation.evaluator import Evaluator
+    from quantnet.models import resnet
+    from quantnet.quantize import qat, static
+    from quantnet.train import checkpoint as ckpt
+    from quantnet.train.trainer import Trainer
+
+    log(f"devices: {jax.devices()}")
+    tree, _ = ckpt.load_artifact("runs/r3_collapse/saved/fp32")
+    params, state = tree["params"], tree["state"]
+    tr, te = load_imagenet(
+        "./data", image_size=64, num_classes=100,
+        synthetic_train_size=25600, synthetic_test_size=10240,
+    )
+    calib = list(tr.batches(128, drop_remainder=True))[:16]
+    ev = Evaluator(resnet.apply, te, batch_size=512)
+
+    r_fp32 = ev.evaluate(params, state)
+    log(f"fp32: top1={r_fp32['top1']:.4f}")
+
+    # Probe static-PTQ configs from lossiest plausible to the deployment
+    # default; take the first honest collapse (>1pt).
+    candidates = [
+        ("per_tensor_minmax", dict(observer="minmax", per_channel=False)),
+        ("per_tensor_moving_average",
+         dict(observer="moving_average", per_channel=False)),
+        ("per_channel_minmax", dict(observer="minmax", per_channel=True)),
+    ]
+    chosen = None
+    probes = {}
+    for name, kw in candidates:
+        qp, qs = static.quantize(params, state, resnet.apply, calib, **kw)
+        r = ev.evaluate(qp, qs)
+        delta_pt = (r_fp32["top1"] - r["top1"]) * 100
+        probes[name] = {"top1": r["top1"], "delta_pt": delta_pt}
+        log(f"static[{name}]: top1={r['top1']:.4f} ({delta_pt:+.2f}pt)")
+        if delta_pt > 1.0:
+            chosen = (name, kw, r)
+            break  # first honest collapse wins; skip cheaper configs
+    if chosen is None:
+        log("no candidate collapses >1pt; aborting without artifacts")
+        with open(os.path.join(OUT, "probe.json"), "w") as f:
+            os.makedirs(OUT, exist_ok=True)
+            json.dump(probes, f, indent=2)
+        return
+    name, kw, r_static = chosen
+    log(f"collapse config: {name}")
+
+    # QAT from the SAME fp32 checkpoint with the SAME observer/granularity;
+    # the stabilized finetune (grad clip 1.0) is the round-3 fix that makes
+    # this run converge on-chip (docs/PERF.md QAT stabilization A/B).
+    qp, qs = qat.prepare(
+        params, state, resnet.apply, calib,
+        observer=kw["observer"], per_channel=kw["per_channel"],
+    )
+    cfg = TrainConfig(
+        epochs=2, batch_size=128, lr=0.01, optimizer="sgd_cosine",
+        seed=0, save_dir="runs/r3_collapse/qat_demo", grad_clip_norm=1.0,
+    )
+    trainer = Trainer(resnet.apply, qp, qs, cfg, tr, te)
+    qp, qs = trainer.train()
+    baked = qat.bake(qp)
+    r_qat = ev.evaluate(baked, qs)
+    log(f"qat: top1={r_qat['top1']:.4f} "
+        f"(recovered {(r_qat['top1'] - r_static['top1']) * 100:+.2f}pt of "
+        f"{(r_fp32['top1'] - r_static['top1']) * 100:.2f}pt collapse)")
+
+    os.makedirs(OUT, exist_ok=True)
+    acc = {"fp32": r_fp32, "static": r_static, "qat": r_qat}
+    for k in acc:
+        acc[k] = dict(acc[k])
+        acc[k].pop("per_class", None)  # keep the committed artifact small
+    acc["static"]["config"] = name
+    acc["qat"]["config"] = f"{name} + STE finetune 2 epochs, clip 1.0"
+    with open(os.path.join(OUT, "accuracy.json"), "w") as f:
+        json.dump({**acc, "probes": probes}, f, indent=2)
+    ckpt.save_artifact(
+        os.path.join("runs/r3_collapse/qat_demo", "qat"),
+        {"params": baked, "state": qs},
+        {"model": "resnet50", "scheme": "qat", "demo": "collapse recovery"},
+    )
+    log("wrote qat_recovery artifacts")
+
+
+if __name__ == "__main__":
+    main()
