@@ -149,6 +149,17 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
         fparams, fstate, act_qparams,
         skip_first_layer=skip_first, weight_bits=4, weight_group_size=int4_gs,
     )
+    # Learned rounding (AdaRound-style) on the sub-byte tiers: at 4 bits the
+    # rounding residual dominates the accuracy loss, and a few hundred
+    # calibration-set steps recover most of it (quantnet/quantize/adaround.py).
+    ar_steps = getattr(args, "adaround_steps", 0)
+    if ar_steps:
+        from quantnet.quantize import adaround
+
+        for tier in ("weight_only_int4", "w4a8"):
+            out[tier] = adaround.refine(
+                *out[tier], params, state, apply_fn, calib, steps=ar_steps,
+            )
     importance = getattr(args, "importance", None) or (
         # Measured sensitivity needs one trace per layer; default to the
         # positional importance map for deep models (54 layers in ResNet-50).
@@ -563,6 +574,10 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["weight_only", "int4"],
                     help="optimized scheme: precision tier for the "
                          "least-sensitive layers")
+    sp.add_argument("--adaround-steps", type=int, default=0,
+                    help="learned-rounding (AdaRound-style) refinement steps "
+                         "for the sub-byte tiers (weight_only_int4 + w4a8); "
+                         "0 disables (quantnet/quantize/adaround.py)")
     sp.add_argument("--skip-first-layer", action="store_true",
                     help="static scheme: keep the stem in fp32 compute "
                          "(int8 handoff out) — faster and more accurate for "
@@ -649,6 +664,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "artifact then joins evaluate/bench/report)")
     sp.add_argument("--observer", default="minmax")
     sp.add_argument("--calibration-batches", type=int, default=16)
+    sp.add_argument("--adaround-steps", type=int, default=0,
+                    help="learned-rounding refinement steps for the sub-byte "
+                         "tiers (see quantize --adaround-steps)")
     sp.add_argument("--skip-first-layer", action="store_true",
                     help="static scheme: fp32 stem with int8 handoff out")
     sp.add_argument("--pre-add-quant", action="store_true",

@@ -103,6 +103,35 @@ def test_full_scheme_matrix_present(track, lo, hi):
     assert not missing, f"{track} accuracy table missing schemes: {missing}"
 
 
+def test_adaround_on_chip_measurement_pinned():
+    """Learned rounding (quantnet/quantize/adaround.py) measured on the real
+    chip against the committed sub-byte artifacts
+    (scripts/tpu_adaround_probe.py). The measured verdict at the shipped
+    config (net-output objective, 400 steps, 16x128 calib) is NEGATIVE —
+    -0.30pt int4 / -0.08pt w4a8 vs nearest rounding, the joint-objective
+    overfit the original AdaRound paper motivates its layer-wise objective
+    with — so the feature stays opt-in (--adaround-steps, default 0) and
+    docs/PERF.md records the A/B. This test pins the probe's contract: rows
+    present, flip fractions sane, and no catastrophic regression (>0.5pt)
+    that would indicate a broken bake."""
+    path = os.path.join(DOCS, "results_tpu_v5e", "adaround", "accuracy.json")
+    if not os.path.exists(path):
+        pytest.skip("adaround probe artifacts not committed yet")
+    with open(path) as f:
+        acc = json.load(f)
+    for tier in ("weight_only_int4", "w4a8"):
+        base, ref = acc[tier], acc[f"{tier}_adaround"]
+        delta_pt = (base["top1"] - ref["top1"]) * 100
+        assert delta_pt < 0.5, (
+            f"{tier}: adaround bake regressed {delta_pt:+.2f}pt — beyond "
+            "measured objective-mismatch noise; the rounding bake is broken"
+        )
+        assert 0.0 < ref["flipped_fraction"] < 0.05, (
+            "flip fraction outside the plausible 1-LSB refinement range"
+        )
+    assert acc["_meta"]["n"] >= 10000
+
+
 def test_qat_recovers_static_ptq_collapse_on_chip():
     """VERDICT round 2: QAT's value (recovering accuracy PTQ loses) was only
     demonstrated in a CPU unit test. These artifacts reproduce the known

@@ -89,6 +89,26 @@ def test_skip_training_reuses_checkpoint(workdir, capsys):
     assert "epoch 0" not in out  # no training log lines
 
 
+def test_quantize_adaround_refines_subbyte_tiers(workdir, capsys):
+    import numpy as np
+
+    from quantnet.train import checkpoint as ckpt
+
+    save, _, common = workdir
+    before = dict(np.load(os.path.join(save, "w4a8.npz")))
+    main([
+        "quantize", *common, "--scheme", "w4a8",
+        "--calibration-batches", "2", "--adaround-steps", "4",
+    ])
+    out = capsys.readouterr().out
+    assert "saved w4a8 artifact" in out
+    # Artifact contract intact after refinement: loads and serves a forward.
+    tree, meta = ckpt.load_artifact(os.path.join(save, "w4a8"))
+    assert meta["scheme"] == "w4a8"
+    after = dict(np.load(os.path.join(save, "w4a8.npz")))
+    assert set(before) == set(after)  # same payload/scale key layout
+
+
 def test_config_file_seeds_defaults(tmp_path, capsys):
     import json as _json
 
