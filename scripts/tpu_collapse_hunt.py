@@ -1,0 +1,175 @@
+"""Hunt an HONEST static-PTQ collapse mid-training, then demo QAT recovery.
+
+Round 2 measured a real collapse (-4.25pt, min-max observer) on a 20-epoch
+undertrained ResNet-50; the round-3 retrain of that configuration converged
+more robustly and no longer collapses under any probed granularity
+(scripts/tpu_qat_recovery.py run 2026-08-20: worst candidate +0.29pt).
+Collapse is a property of the *transient* mid-training weight/activation
+statistics, so this script recreates the fragile regime instead of relying on
+one lucky checkpoint: train resnet18 (64 px, 100-class synthetic track) from
+scratch with the PLAIN recipe round 2 used (no warmup, no zero-init-residual,
+lr 0.1) and probe static PTQ at the reference engine's own default
+granularity (per-tensor weights + min-max observers — what
+torch.quantization.default qconfigs give, reference
+models/dynamic_ptq_model.py:302-306) after every epoch.
+
+First epoch whose quick-probe delta exceeds 1.5pt -> confirm on the full
+n=10,240 split, finetune through fake quant from EXACTLY that checkpoint
+(stabilized QAT: grad clip 1.0), bake, and write
+docs/results_tpu_v5e_resnet50/qat_recovery/accuracy.json (consumed by
+tests/test_artifacts.py::test_qat_recovers_static_ptq_collapse_on_chip).
+If no epoch in the budget collapses, write the probe trace and exit 0 —
+a documented negative beats a manufactured demo.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_collapse_hunt.py
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+T0 = time.time()
+OUT = "docs/results_tpu_v5e_resnet50/qat_recovery"
+MAX_EPOCHS = int(os.environ.get("HUNT_EPOCHS", "10"))
+DEPTH = int(os.environ.get("HUNT_DEPTH", "18"))
+
+
+def log(msg):
+    print(f"[+{time.time() - T0:.0f}s] {msg}", flush=True)
+
+
+def main():
+    from quantnet.core.config import TrainConfig
+    from quantnet.data.datasets import load_imagenet
+    from quantnet.evaluation.evaluator import Evaluator
+    from quantnet.models import resnet
+    from quantnet.quantize import qat, static
+    from quantnet.train import checkpoint as ckpt
+    from quantnet.train.trainer import Trainer
+
+    log(f"devices: {jax.devices()} depth={DEPTH} max_epochs={MAX_EPOCHS}")
+    tr, te = load_imagenet(
+        "./data", image_size=64, num_classes=100,
+        synthetic_train_size=25600, synthetic_test_size=10240,
+    )
+    # Small split for the per-epoch probe; full split only for the demo rows.
+    _, te_small = load_imagenet(
+        "./data", image_size=64, num_classes=100,
+        synthetic_train_size=25600, synthetic_test_size=2560,
+    )
+    calib = list(tr.batches(128, drop_remainder=True))[:16]
+    ev_small = Evaluator(resnet.apply, te_small, batch_size=512)
+    ev_full = Evaluator(resnet.apply, te, batch_size=512)
+
+    def apply_fn(p, s, x, **kw):
+        return resnet.apply(p, s, x, **kw)
+
+    rng = jax.random.PRNGKey(0)
+    params, state = resnet.init(rng, num_classes=100, depth=DEPTH)
+    # One-epoch config, trained repeatedly: the effective schedule is a
+    # restarted one-epoch cosine at lr 0.1 — a plain high-lr regime, the
+    # fragile conditioning round 2's collapse arose in.
+    cfg = TrainConfig(
+        epochs=1, batch_size=128, lr=0.1, optimizer="sgd_cosine",
+        seed=0, save_dir="runs/r3_hunt",
+    )
+    trainer = Trainer(resnet.apply, params, state, cfg, tr, te_small)
+
+    probe_kw = dict(observer="minmax", per_channel=False)
+    trace = []
+    chosen = None
+    for epoch in range(MAX_EPOCHS):
+        trainer.cfg = dataclasses.replace(cfg, seed=epoch)
+        trainer.train()
+        p, s = trainer.params, trainer.state
+        r_fp = ev_small.evaluate(p, s)
+        qp, qs = static.quantize(p, s, resnet.apply, calib, **probe_kw)
+        r_q = ev_small.evaluate(qp, qs)
+        delta = (r_fp["top1"] - r_q["top1"]) * 100
+        trace.append(
+            {"epoch": epoch, "fp32_top1": r_fp["top1"],
+             "static_top1": r_q["top1"], "delta_pt": delta}
+        )
+        log(
+            f"epoch {epoch}: fp32={r_fp['top1']:.4f} "
+            f"static(pt/minmax)={r_q['top1']:.4f} delta={delta:+.2f}pt"
+        )
+        if delta > 1.5 and r_fp["top1"] > 0.10:
+            chosen = (p, s, epoch)
+            break
+
+    os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(OUT, "probe.json"), "w") as f:
+        json.dump(
+            {"model": f"resnet{DEPTH}", "recipe": "plain sgd lr0.1",
+             "probe": "static per-tensor minmax (reference-default "
+                      "granularity)", "n_probe": 2560, "trace": trace},
+            f, indent=1,
+        )
+    if chosen is None:
+        log(f"no collapse >1.5pt in {MAX_EPOCHS} epochs; probe trace written")
+        return
+
+    params, state, epoch = chosen
+    log(f"collapse at epoch {epoch}; confirming on n=10,240")
+    r_fp32 = ev_full.evaluate(params, state)
+    qp, qs = static.quantize(params, state, resnet.apply, calib, **probe_kw)
+    r_static = ev_full.evaluate(qp, qs)
+    collapse_pt = (r_fp32["top1"] - r_static["top1"]) * 100
+    log(f"confirmed: fp32={r_fp32['top1']:.4f} static={r_static['top1']:.4f} "
+        f"({collapse_pt:+.2f}pt)")
+    ckpt.save_artifact(
+        "runs/r3_hunt/fp32_collapse",
+        {"params": params, "state": state},
+        {"model": f"resnet{DEPTH}", "epoch": epoch,
+         "note": "mid-training checkpoint where per-tensor/minmax static "
+                 "PTQ collapses"},
+    )
+
+    # QAT from the SAME checkpoint, SAME granularity the collapse used.
+    fq_p, fq_s = qat.prepare(
+        params, state, resnet.apply, calib, **probe_kw
+    )
+    qcfg = TrainConfig(
+        epochs=2, batch_size=128, lr=0.01, optimizer="sgd_cosine",
+        seed=0, save_dir="runs/r3_hunt/qat", grad_clip_norm=1.0,
+    )
+    qtrainer = Trainer(resnet.apply, fq_p, fq_s, qcfg, tr, te_small)
+    fq_p, fq_s = qtrainer.train()
+    baked = qat.bake(fq_p)
+    r_qat = ev_full.evaluate(baked, fq_s)
+    rec = (r_qat["top1"] - r_static["top1"]) * 100
+    log(f"qat: top1={r_qat['top1']:.4f} (recovered {rec:+.2f}pt of "
+        f"{collapse_pt:.2f}pt)")
+
+    acc = {}
+    for name, r in (("fp32", r_fp32), ("static", r_static), ("qat", r_qat)):
+        acc[name] = {k: v for k, v in r.items() if k != "per_class"}
+    acc["static"]["config"] = "per_tensor_minmax (reference-default)"
+    acc["qat"]["config"] = (
+        "per_tensor_minmax + STE finetune 2 epochs, grad clip 1.0"
+    )
+    acc["checkpoint"] = {
+        "model": f"resnet{DEPTH}", "epoch": epoch,
+        "source": "runs/r3_hunt/fp32_collapse",
+    }
+    with open(os.path.join(OUT, "accuracy.json"), "w") as f:
+        json.dump(acc, f, indent=1)
+    ckpt.save_artifact(
+        "runs/r3_hunt/qat_demo",
+        {"params": baked, "state": fq_s},
+        {"model": f"resnet{DEPTH}", "scheme": "qat",
+         "demo": "collapse recovery"},
+    )
+    log("wrote qat_recovery artifacts")
+
+
+if __name__ == "__main__":
+    main()

@@ -80,8 +80,8 @@ def main():
             break  # first honest collapse wins; skip cheaper configs
     if chosen is None:
         log("no candidate collapses >1pt; aborting without artifacts")
+        os.makedirs(OUT, exist_ok=True)
         with open(os.path.join(OUT, "probe.json"), "w") as f:
-            os.makedirs(OUT, exist_ok=True)
             json.dump(probes, f, indent=2)
         return
     name, kw, r_static = chosen
