@@ -89,9 +89,14 @@ def main():
         trainer.cfg = dataclasses.replace(cfg, seed=epoch)
         trainer.train()
         p, s = trainer.params, trainer.state
-        r_fp = ev_small.evaluate(p, s)
-        qp, qs = static.quantize(p, s, resnet.apply, calib, **probe_kw)
-        r_q = ev_small.evaluate(qp, qs)
+        try:
+            r_fp = ev_small.evaluate(p, s)
+            qp, qs = static.quantize(p, s, resnet.apply, calib, **probe_kw)
+            r_q = ev_small.evaluate(qp, qs)
+        except Exception as e:  # transient tunnel/runtime fault: skip epoch
+            log(f"epoch {epoch}: probe failed ({type(e).__name__}: {e}); "
+                "continuing")
+            continue
         delta = (r_fp["top1"] - r_q["top1"]) * 100
         trace.append(
             {"epoch": epoch, "fp32_top1": r_fp["top1"],

@@ -76,6 +76,28 @@ def logit_mse(qp, qs, fp, fs, batches):
     return err / len(batches)
 
 
+def test_scale_full_matches_dequantize_contract():
+    """_scale_full must reproduce QTensor.dequantize's scale broadcasting for
+    every scale layout (per-tensor, per-channel, group-wise)."""
+    from quantnet.core.quantize import (
+        quantize_symmetric, quantize_symmetric_grouped,
+    )
+
+    rng = jax.random.PRNGKey(5)
+    w2 = jax.random.normal(rng, (128, 6), jnp.float32)
+    w4 = jax.random.normal(rng, (3, 3, 8, 16), jnp.float32)
+    for qt in (
+        quantize_symmetric(w2, axis=None),
+        quantize_symmetric(w2, axis=1),
+        quantize_symmetric(w4, axis=3),
+        quantize_symmetric_grouped(w2, 32, bits=4),
+    ):
+        via_full = qt.values.astype(jnp.float32) * adaround._scale_full(qt)
+        np.testing.assert_allclose(
+            np.asarray(via_full), np.asarray(qt.dequantize()), rtol=1e-6
+        )
+
+
 def test_rect_sigmoid_inverse_roundtrip():
     h = jnp.linspace(0.01, 0.99, 23)
     back = adaround._rect_sigmoid(adaround._rect_sigmoid_inv(h))
