@@ -118,3 +118,57 @@ def compare_models(
         )
         results[name] = ev.evaluate(params, state)
     return results
+
+
+def compare_models_single_pass(
+    apply_fn: Callable,
+    models: Dict[str, Tuple[dict, dict]],
+    dataset: Dataset,
+    *,
+    batch_size: int = 512,
+    top_k: int = 5,
+) -> Dict[str, Dict[str, object]]:
+    """Evaluate every model in ONE pass over the data.
+
+    The reference's compare_models made a full DataLoader pass per model
+    (utils/model_evaluator.py:123-204); on a tunnel-attached TPU each pass
+    re-pays the whole host->device transfer of the eval split, which
+    dominates wall time for a 9-scheme matrix at 224 px. Here each batch is
+    shipped once and every model's jitted metric step runs on the resident
+    arrays. All models share one apply_fn (a quantized model is just a
+    transformed params tree); steps compile per distinct tree structure.
+    """
+    num_classes = dataset.num_classes
+    step = make_metric_step(apply_fn, num_classes, top_k)
+    n = len(dataset)
+    # Per-batch sums stay ON DEVICE until the end: a float() per model per
+    # batch would cost models x batches host round-trips over the tunnel.
+    parts = {name: [] for name in models}
+    seen = 0
+    for images, labels in dataset.batches(batch_size, pad_remainder=True):
+        bs = images.shape[0]
+        n_valid = min(bs, n - seen)
+        valid = (np.arange(bs) < n_valid).astype(np.float32)
+        images = jnp.asarray(images)
+        labels = jnp.asarray(labels)
+        for name, (params, state) in models.items():
+            parts[name].append(step(params, state, images, labels, valid))
+        seen += n_valid
+    results = {}
+    for name, outs in parts.items():
+        t1 = float(sum(o[0] for o in outs))
+        tk = float(sum(o[1] for o in outs))
+        total = float(sum(o[2] for o in outs))
+        pcc = np.sum([np.asarray(o[3], np.float64) for o in outs], axis=0)
+        pct = np.sum([np.asarray(o[4], np.float64) for o in outs], axis=0)
+        per_class = {
+            i: pcc[i] / pct[i] for i in range(num_classes) if pct[i] > 0
+        }
+        results[name] = {
+            "top1": t1 / max(total, 1.0),
+            "top5": tk / max(total, 1.0),
+            "n": int(total),
+            "num_classes": num_classes,
+            "per_class": per_class,
+        }
+    return results

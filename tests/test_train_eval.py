@@ -155,6 +155,32 @@ class TestEvaluator:
         )
         assert "a" in out and "top1" in out["a"]
 
+    def test_compare_models_single_pass_matches_per_model(self, tiny_data, model):
+        """One-data-pass multi-model eval must produce exactly the per-model
+        Evaluator numbers (it is a transfer optimization, not a semantics
+        change)."""
+        from quantnet.evaluation.evaluator import compare_models_single_pass
+        from quantnet.quantize import dynamic, weight_only
+
+        _, test = tiny_data
+        params, state = model
+        models = {
+            "fp32": (params, state),
+            "dynamic": dynamic.quantize(params, state),
+            "weight_only": weight_only.quantize(params, state),
+        }
+        combined = compare_models_single_pass(
+            convnet.apply, models, test, batch_size=64
+        )
+        for name, (p, s) in models.items():
+            solo = Evaluator(convnet.apply, test, batch_size=64).evaluate(p, s)
+            assert combined[name]["top1"] == pytest.approx(solo["top1"])
+            assert combined[name]["top5"] == pytest.approx(solo["top5"])
+            assert combined[name]["n"] == solo["n"]
+            assert combined[name]["per_class"] == pytest.approx(
+                solo["per_class"]
+            )
+
 
 class TestCheckpoint:
     def test_artifact_roundtrip_fp32(self, model, tmp_path):
