@@ -348,10 +348,20 @@ class Trainer:
                              jax.tree_util.tree_map(jnp.copy, state))
                 if save_path:
                     self.save_checkpoint(save_path, epoch)
-        # reload best (reference model_trainer.py:104-106)
+        # reload best (reference model_trainer.py:104-106). COPY, don't
+        # alias: the next train() call donates the carry into the jitted
+        # step, and an aliased reload would hand self.best's buffers to the
+        # donor — deleting the best checkpoint (and the caller's returned
+        # arrays) on any backend that honors donation. Repeated train()
+        # calls (epoch-at-a-time loops, resumed finetunes) hit this as a
+        # dead-buffer TPU runtime error.
         if self.best is not None:
             params, state = self.best
-            self.carry = (params, state, self.carry[2])
+            self.carry = (
+                jax.tree_util.tree_map(jnp.copy, params),
+                jax.tree_util.tree_map(jnp.copy, state),
+                self.carry[2],
+            )
         return self.carry[0], self.carry[1]
 
     def _plateau_update(self, test_loss: float):

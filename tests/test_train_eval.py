@@ -67,6 +67,29 @@ class TestTrainStep:
         assert losses[-1] < losses[0]
         assert tr.best_accuracy > 0.0
 
+    def test_repeated_train_calls_never_alias_best_into_carry(self, tiny_data, model):
+        """train() reloads the best checkpoint into the carry at the end; the
+        next train() call DONATES the carry into the jitted step. If the
+        reload aliased instead of copying, donation would delete the best
+        checkpoint's buffers — epoch-at-a-time training loops (e.g.
+        scripts/tpu_collapse_hunt.py) then die with a dead-buffer runtime
+        error on TPU. Pin the no-aliasing invariant (donation is a no-op on
+        the CPU test backend, so identity is the testable property)."""
+        train, test = tiny_data
+        params, state = model
+        cfg = TrainConfig(epochs=1, batch_size=64, lr=0.05, seed=0)
+        tr = Trainer(convnet.apply, params, state, cfg, train, test, log=None)
+        for call in range(3):
+            p, s = tr.train()
+            assert tr.best is not None
+            carry_ids = {id(l) for l in jax.tree_util.tree_leaves(tr.carry[0])}
+            best_ids = {id(l) for l in jax.tree_util.tree_leaves(tr.best[0])}
+            assert not (carry_ids & best_ids), f"aliased after call {call}"
+            # returned trees must be live and finite after every call
+            assert np.isfinite(
+                float(jax.tree_util.tree_leaves(p)[0].sum())
+            )
+
     def test_adam_plateau_variant(self, tiny_data, model):
         train, test = tiny_data
         params, state = model
