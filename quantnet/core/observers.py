@@ -43,6 +43,15 @@ class MinMaxObserver:
     def qparams(self) -> Tuple[jax.Array, jax.Array]:
         return affine_qparams(self.min, self.max)
 
+    @classmethod
+    def merge_all(cls, states):
+        """Cross-process merge: global min of mins, max of maxes — exactly
+        what a single process observing the union of the data would hold."""
+        return cls(
+            min=jnp.min(jnp.stack([s.min for s in states])),
+            max=jnp.max(jnp.stack([s.max for s in states])),
+        )
+
 
 @struct.dataclass
 class MovingAvgMinMaxObserver:
@@ -74,6 +83,54 @@ class MovingAvgMinMaxObserver:
 
     def qparams(self) -> Tuple[jax.Array, jax.Array]:
         return affine_qparams(self.min, self.max)
+
+    @classmethod
+    def merge_all(cls, states):
+        """Cross-process merge: mean of the per-process EMAs over the
+        processes that saw data. The EMA itself is order-dependent, so no
+        merge can reproduce the single-stream value exactly; the mean of
+        per-process EMAs is the natural symmetric estimate, and every process
+        folds the same gathered list so the result is bit-identical
+        everywhere (the property static calibration actually requires)."""
+        init = jnp.stack([s.initialized for s in states]).astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(init), 1.0)
+        mean_min = jnp.sum(jnp.stack([s.min for s in states]) * init) / n
+        mean_max = jnp.sum(jnp.stack([s.max for s in states]) * init) / n
+        return cls(
+            min=mean_min,
+            max=mean_max,
+            initialized=jnp.any(jnp.stack([s.initialized for s in states])),
+            momentum=states[0].momentum,
+        )
+
+
+def _merge_histogram_counts(states, bins):
+    """Re-bin per-process fixed-range histograms onto a common range.
+
+    Each process froze its bucket edges on ITS first batch, so edges differ
+    across processes; summing raw counts would be wrong. Build the common
+    range [min lo_i, max hi_i] and scatter each process's bucket mass at its
+    bucket centers into the common grid (error <= one common bucket width).
+    Uninitialized states hold zero counts and are excluded from the range.
+    """
+    init = jnp.stack([s.initialized for s in states])
+    los = jnp.stack([s.lo for s in states])
+    his = jnp.stack([s.hi for s in states])
+    lo = jnp.min(jnp.where(init, los, jnp.inf))
+    hi = jnp.max(jnp.where(init, his, -jnp.inf))
+    # all-uninitialized guard (never happens in calibrate, but stay total)
+    lo = jnp.where(jnp.any(init), lo, 0.0)
+    hi = jnp.where(jnp.any(init) & (hi > lo), hi, lo + 1.0)
+    counts = jnp.zeros((bins,), jnp.float32)
+    for s in states:
+        centers = s.lo + (s.hi - s.lo) * (
+            (jnp.arange(bins, dtype=jnp.float32) + 0.5) / bins
+        )
+        idx = jnp.clip(
+            ((centers - lo) / (hi - lo) * bins).astype(jnp.int32), 0, bins - 1
+        )
+        counts = counts.at[idx].add(s.counts)
+    return counts, lo, hi, jnp.any(init)
 
 
 @struct.dataclass
@@ -136,6 +193,14 @@ class HistogramObserver:
         xmin = edges[jnp.clip(lo_idx, 0, self.bins)]
         xmax = edges[jnp.clip(hi_idx + 1, 0, self.bins)]
         return affine_qparams(xmin, xmax)
+
+    @classmethod
+    def merge_all(cls, states):
+        counts, lo, hi, init = _merge_histogram_counts(states, states[0].bins)
+        return cls(
+            counts=counts, lo=lo, hi=hi, initialized=init,
+            bins=states[0].bins, percentile=states[0].percentile,
+        )
 
 
 @struct.dataclass
@@ -206,6 +271,14 @@ class MSEObserver:
         best = fracs[jnp.argmin(mses)]
         return affine_qparams(
             jnp.minimum(obs_lo * best, 0.0), jnp.maximum(obs_hi * best, 0.0)
+        )
+
+    @classmethod
+    def merge_all(cls, states):
+        counts, lo, hi, init = _merge_histogram_counts(states, states[0].bins)
+        return cls(
+            counts=counts, lo=lo, hi=hi, initialized=init,
+            bins=states[0].bins, num_candidates=states[0].num_candidates,
         )
 
 

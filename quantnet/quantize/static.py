@@ -45,6 +45,7 @@ def calibrate(
     observer: str = "minmax",
     observer_kwargs: Optional[dict] = None,
     include_output_stats: bool = False,
+    cross_process: bool = True,
 ) -> Dict[str, Tuple[jax.Array, jax.Array]]:
     """Run calibration batches, return {layer_path: (scale, zero_point)}.
 
@@ -53,6 +54,15 @@ def calibrate(
     observer pytree — one device program per batch, no per-layer host syncs.
     ":out" capture keys (pre-add residual stats) are observed only when
     include_output_stats is set — they exist solely for pre_add_quant.
+
+    Multi-host: when `jax.process_count() > 1` each process observes only its
+    own data shard; baking per-process statistics into supposedly-replicated
+    params would freeze DIVERGENT scales on different hosts. With
+    cross_process=True (default) the finished observer pytree is all-gathered
+    once and folded with each observer's `merge_all` — deterministically, in
+    process-index order — so every process extracts bit-identical qparams
+    that reflect the union of the calibration data. One collective per
+    calibration, never per batch.
     """
     observer_kwargs = observer_kwargs or {}
 
@@ -82,9 +92,33 @@ def calibrate(
         x = batch[0] if isinstance(batch, (tuple, list)) else batch
         obs = step(obs, x)
 
+    if cross_process and jax.process_count() > 1:
+        obs = _merge_observers_across_processes(obs)
+
     # One jitted extraction over the whole observer pytree (the eager per-layer
     # version pays a host round-trip per scale).
     return jax.jit(lambda obs: {k: o.qparams() for k, o in obs.items()})(obs)
+
+
+def _merge_observers_across_processes(obs: dict) -> dict:
+    """All-gather the finished observer pytree and fold per-process states
+    with the observer's merge_all. Every process gathers the same data and
+    folds in the same (process-index) order, so the merged observers — and
+    therefore the baked ActQuant scales — are bit-identical on every host."""
+    from jax.experimental import multihost_utils
+
+    nproc = jax.process_count()
+    # leaves come back stacked along a new leading process axis
+    gathered = multihost_utils.process_allgather(obs)
+    merged = {}
+    for key, local in obs.items():
+        g = gathered[key]
+        states = [
+            jax.tree_util.tree_map(lambda a, i=i: jax.numpy.asarray(a)[i], g)
+            for i in range(nproc)
+        ]
+        merged[key] = type(local).merge_all(states)
+    return merged
 
 
 def quantize(

@@ -106,4 +106,52 @@ with mesh:
 assert np.isfinite(float(ploss))
 assert abs(float(sloss) - float(ploss)) < 1e-4, (float(sloss), float(ploss))
 
-print(f"MP_OK {top1} {n}", flush=True)
+# --- Static-PTQ calibration parity (VERDICT round-3 missing #3) ---
+# Each process calibrates on ITS OWN data shard; cross_process merging must
+# bake scales that (a) are bit-identical on every process and (b) equal a
+# single-process calibration over the union of the shards (exact for the
+# min-max observer). Without the merge, process 0 and 1 would freeze
+# divergent ActQuant scales into supposedly-replicated quantized params.
+from quantnet.quantize import static  # noqa: E402
+from quantnet.quantize.fold import fold_model_jit  # noqa: E402
+
+fparams, fstate = fold_model_jit(params, state)
+local_calib = [
+    im
+    for im, _lb in test.batches(
+        GLOBAL_BS, process_shard=True, drop_remainder=True
+    )
+]
+mp_qp = static.calibrate(
+    convnet.apply, fparams, fstate, local_calib, observer="minmax"
+)
+global_calib = [
+    im for im, _lb in test.batches(GLOBAL_BS, drop_remainder=True)
+]
+ref_qp = static.calibrate(
+    convnet.apply, fparams, fstate, global_calib, observer="minmax",
+    cross_process=False,
+)
+for key in sorted(ref_qp):
+    np.testing.assert_array_equal(
+        np.asarray(mp_qp[key][0]), np.asarray(ref_qp[key][0]), err_msg=key
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mp_qp[key][1]), np.asarray(ref_qp[key][1]), err_msg=key
+    )
+# Digest of every baked scale goes into the MP_OK line; the parent test
+# asserts both workers printed the SAME line, i.e. bit-identical scales.
+baked_qp, _ = static.bake(fparams, fstate, mp_qp)
+from quantnet.core.types import ActQuant  # noqa: E402
+
+digest_parts = []
+for leaf in jax.tree_util.tree_leaves(
+    baked_qp, is_leaf=lambda x: isinstance(x, ActQuant)
+):
+    if isinstance(leaf, ActQuant):
+        digest_parts.append(float(np.asarray(leaf.scale)))
+        digest_parts.append(float(np.asarray(leaf.zero_point)))
+assert digest_parts, "no ActQuant leaves found in the baked tree"
+calib_digest = "%.9e" % float(np.sum(np.asarray(digest_parts, np.float64)))
+
+print(f"MP_OK {top1} {n} calib={calib_digest}", flush=True)
