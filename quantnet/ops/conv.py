@@ -149,6 +149,26 @@ def conv2d(
     b = layer.get("b")
     out_dtype = jnp.float32
 
+    probe = layer.get("probe")
+    if probe is not None and not isinstance(w, QTensor):
+        # Sensitivity probe (quantnet/quantize/policy.py): run BOTH the plain
+        # path and the dynamic-int8 path — each via this very dispatch, so
+        # the quantized lane is bitwise the real scheme's math — and select
+        # by the traced gate. Keeps the probed-layer choice out of the trace:
+        # the whole per-layer sweep is one compiled program.
+        from quantnet.quantize.common import quantize_weight
+
+        base = {k: v for k, v in layer.items() if k != "probe"}
+        qlayer = dict(base)
+        qlayer["w"] = quantize_weight(w, probe.per_channel)
+        qlayer["aq"] = DynamicActQuant()
+        kwargs = dict(stride=stride, padding=padding, activation=activation)
+        y_fp = conv2d(base, x, **kwargs)
+        y_q = conv2d(qlayer, x, **kwargs)
+        return maybe_requantize(
+            jnp.where(probe.gate > 0.5, y_q, y_fp), out_quant
+        )
+
     fq = layer.get("fq")
     if fq is not None and not isinstance(w, QTensor):
         # QAT training island (quantnet/quantize/qat.py): fake-quantized

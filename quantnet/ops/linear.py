@@ -99,6 +99,23 @@ def linear(
     b = layer.get("b")
     out_dtype = jnp.float32
 
+    probe = layer.get("probe")
+    if probe is not None and not isinstance(w, QTensor):
+        # Sensitivity probe — see quantnet/ops/conv.py::conv2d. Both lanes go
+        # through this same dispatch; the traced gate selects, so the whole
+        # per-layer sensitivity sweep compiles once.
+        from quantnet.quantize.common import quantize_weight
+
+        base = {k: v for k, v in layer.items() if k != "probe"}
+        qlayer = dict(base)
+        qlayer["w"] = quantize_weight(w, probe.per_channel)
+        qlayer["aq"] = DynamicActQuant()
+        y_fp = linear(base, x, activation=activation)
+        y_q = linear(qlayer, x, activation=activation)
+        return maybe_requantize(
+            jnp.where(probe.gate > 0.5, y_q, y_fp), out_quant
+        )
+
     fq = layer.get("fq")
     if fq is not None and not isinstance(w, QTensor):
         # QAT training island — see quantnet/ops/conv.py::conv2d.
