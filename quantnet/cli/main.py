@@ -17,6 +17,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import os
 import sys
@@ -25,12 +26,20 @@ from typing import Dict, Tuple
 import jax
 
 
+def _torch_pad(meta) -> bool:
+    """Imported reference checkpoints need torch's symmetric stride-2 conv
+    padding (quantnet/models/resnet.py::apply torch_pad) — recorded in the
+    fp32 artifact's meta by cmd_import_torch and honored by every stage."""
+    return bool(meta and meta.get("torch_pad"))
+
+
 def _build_model(
     name: str,
     num_classes: int,
     seed: int = 0,
     conv1_scale: float = 1.0,
     zero_init_residual: bool = False,
+    torch_pad: bool = False,
 ):
     init_kwargs = {}
     if name == "simple_convnet":
@@ -55,11 +64,13 @@ def _build_model(
             init_kwargs["zero_init_residual"] = True
         # conv1_scale: the reference's custom input-scale knob on the stem conv
         # (models/dynamic_ptq_model.py:13-32,157-164).
-        apply_fn = (
-            functools.partial(mod.apply, conv1_scale=conv1_scale)
-            if conv1_scale != 1.0
-            else mod.apply
-        )
+        # torch_pad: symmetric stride-2 padding for imported torch weights.
+        kw = {}
+        if conv1_scale != 1.0:
+            kw["conv1_scale"] = conv1_scale
+        if torch_pad:
+            kw["torch_pad"] = True
+        apply_fn = functools.partial(mod.apply, **kw) if kw else mod.apply
     else:
         raise SystemExit(f"unknown model {name!r}")
     params, state = mod.init(
@@ -111,9 +122,16 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
     from quantnet.quantize import bf16, dynamic, static, weight_only
     from quantnet.quantize.policy import quantize_optimized
 
-    calib = list(train_data.batches(args.batch_size, drop_remainder=True))[
-        : args.calibration_batches
-    ]
+    # islice, NOT list(...)[:n]: materializing the whole epoch of assembled
+    # f32 batches to keep `calibration_batches` of them is O(epoch) host RAM
+    # (~30 GB on ImageNet-val at 224 px) — exactly the materialization the
+    # u8-resident pipeline exists to avoid.
+    calib = list(
+        itertools.islice(
+            train_data.batches(args.batch_size, drop_remainder=True),
+            args.calibration_batches,
+        )
+    )
     from quantnet.quantize.fold import fold_model_jit
 
     out = {}
@@ -149,22 +167,24 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
         fparams, fstate, act_qparams,
         skip_first_layer=skip_first, weight_bits=4, weight_group_size=int4_gs,
     )
-    # Learned rounding (AdaRound-style) on the sub-byte tiers: at 4 bits the
-    # rounding residual dominates the accuracy loss, and a few hundred
-    # calibration-set steps recover most of it (quantnet/quantize/adaround.py).
+    # Learned rounding (AdaRound-style) on the sub-byte tiers. Opt-in
+    # (quantnet/quantize/adaround.py); see docs/PERF.md for the measured
+    # on-chip A/B at the shipped config.
     ar_steps = getattr(args, "adaround_steps", 0)
     if ar_steps:
         from quantnet.quantize import adaround
 
+        requested = getattr(args, "scheme", "all")
         for tier in ("weight_only_int4", "w4a8"):
+            if requested not in ("all", tier):
+                continue  # don't pay hundreds of steps for unselected tiers
             out[tier] = adaround.refine(
                 *out[tier], params, state, apply_fn, calib, steps=ar_steps,
             )
-    importance = getattr(args, "importance", None) or (
-        # Measured sensitivity needs one trace per layer; default to the
-        # positional importance map for deep models (54 layers in ResNet-50).
-        "sensitivity" if args.model == "simple_convnet" else "static_map"
-    )
+    # Measured sensitivity is one compiled program regardless of depth
+    # (ProbeGate sweep, quantnet/quantize/policy.py), so it is the default
+    # for every model — ResNet-50 included.
+    importance = getattr(args, "importance", None) or "sensitivity"
     qp, qs, policy = quantize_optimized(
         params, state, apply_fn,
         calib[: max(args.calibration_batches // 4, 1)],
@@ -234,7 +254,8 @@ def cmd_quantize(args):
     params, state, meta = loaded
     train_data, _, _ = _load_data(args)
     apply_fn, _, _ = _build_model(
-        args.model, train_data.num_classes, conv1_scale=args.conv1_scale
+        args.model, train_data.num_classes, conv1_scale=args.conv1_scale,
+        torch_pad=_torch_pad(meta),
     )
     schemes = _quantize_all(apply_fn, params, state, train_data, args)
     policy = schemes.pop("_policy", None)
@@ -266,11 +287,15 @@ def cmd_qat(args):
     params, state, meta = loaded
     train_data, test_data, _ = _load_data(args)
     apply_fn, _, _ = _build_model(
-        args.model, train_data.num_classes, conv1_scale=args.conv1_scale
+        args.model, train_data.num_classes, conv1_scale=args.conv1_scale,
+        torch_pad=_torch_pad(meta),
     )
-    calib = list(train_data.batches(args.batch_size, drop_remainder=True))[
-        : args.calibration_batches
-    ]
+    calib = list(
+        itertools.islice(
+            train_data.batches(args.batch_size, drop_remainder=True),
+            args.calibration_batches,
+        )
+    )
     qp, qs = qat.prepare(
         params, state, apply_fn, calib, observer=args.observer,
         per_channel=not getattr(args, "per_tensor", False),
@@ -307,8 +332,15 @@ def _collect_models(args):
     from quantnet.train import checkpoint as ckpt
 
     train_data, test_data, classes = _load_data(args)
+    # torch_pad is a property of the weight family: every artifact in a
+    # save_dir derives from the same fp32 tree, so its meta decides.
+    fp32_meta = None
+    fp32_loaded = _load_fp32(args)
+    if fp32_loaded is not None:
+        fp32_meta = fp32_loaded[2]
     apply_fn, _, _ = _build_model(
-        args.model, train_data.num_classes, conv1_scale=args.conv1_scale
+        args.model, train_data.num_classes, conv1_scale=args.conv1_scale,
+        torch_pad=_torch_pad(fp32_meta),
     )
     models = {}
     for name in ["fp32", "bf16", "dynamic", "static", "weight_only",
@@ -380,7 +412,11 @@ def cmd_import_torch(args):
     ckpt.save_artifact(
         _artifact_path(args.save_dir, "fp32"),
         {"params": params, "state": state},
-        {"model": args.model, "best_accuracy": best, "imported_from": args.ckpt},
+        {"model": args.model, "best_accuracy": best, "imported_from": args.ckpt,
+         # imported torch weights need symmetric stride-2 conv padding
+         # (quantnet/models/resnet.py::apply torch_pad); convnet forwards
+         # are padding-identical either way, the flag is harmless there.
+         "torch_pad": args.model.startswith("resnet")},
     )
     msg = f"imported {args.ckpt} -> {args.save_dir}/fp32"
     if best is not None:

@@ -26,6 +26,7 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_collapse_hunt.py
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import json
 import os
 import sys
@@ -64,7 +65,7 @@ def main():
         "./data", image_size=64, num_classes=100,
         synthetic_train_size=25600, synthetic_test_size=2560,
     )
-    calib = list(tr.batches(128, drop_remainder=True))[:16]
+    calib = list(itertools.islice(tr.batches(128, drop_remainder=True), 16))
     ev_small = Evaluator(resnet.apply, te_small, batch_size=512)
     ev_full = Evaluator(resnet.apply, te, batch_size=512)
 
@@ -87,7 +88,13 @@ def main():
     chosen = None
     for epoch in range(MAX_EPOCHS):
         trainer.cfg = dataclasses.replace(cfg, seed=epoch)
-        trainer.train()
+        # reload_best=False: probe the TRUE end-of-epoch carry of the plain
+        # sequential SGD trajectory. The default best-reload would silently
+        # rewind to the best-so-far checkpoint whenever the small-split
+        # accuracy dipped — re-training from (and re-probing) older weights
+        # instead of the transient states this hunt exists to catch
+        # (round-3 advisor finding, ADVICE.md).
+        trainer.train(reload_best=False)
         p, s = trainer.params, trainer.state
         try:
             r_fp = ev_small.evaluate(p, s)

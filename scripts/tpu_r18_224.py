@@ -25,6 +25,7 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_r18_224.py
 """
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import sys
@@ -90,8 +91,11 @@ def main():
             seed=0, save_dir=os.path.join(RUN, "ckpt"), warmup_epochs=1.0,
         )
         trainer = Trainer(resnet.apply, params, state, cfg, tr, te_small)
+        # resume=True: a tunnel stall mid-training (observed round 4: the
+        # axon RPC wedged at epoch 5 for 45+ min) costs only the epochs
+        # since the last best checkpoint, not the whole run.
         params, state = trainer.train(
-            save_path=os.path.join(RUN, "ckpt", "best")
+            save_path=os.path.join(RUN, "ckpt", "best"), resume=True
         )
         ckpt.save_artifact(
             fp32_path, {"params": params, "state": state},
@@ -99,7 +103,7 @@ def main():
         )
         log(f"trained: best small-split top1={trainer.best_accuracy:.4f}")
 
-    calib = list(tr.batches(128, drop_remainder=True))[:8]
+    calib = list(itertools.islice(tr.batches(128, drop_remainder=True), 8))
     log("quantizing the full scheme matrix at 224 px")
     schemes = {"fp32": (params, state)}
     schemes["bf16"] = bf16.quantize(params, state)
