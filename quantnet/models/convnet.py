@@ -113,6 +113,11 @@ def _conv_bn_relu(params, state, new_state, name, x, train, capture=None, out_qu
         # BN-folded (quantized) variant: activation fused into the op epilogue.
         if capture is not None:
             capture[name] = x
+            sp = capture.get("__specs__")
+            if sp is not None:
+                # See quantnet/models/resnet.py::_conv_bn — static op spec
+                # side-channel for layer-local reconstruction (adaround).
+                sp[name] = ("conv", 1, "SAME", "relu")
         x = conv2d(layer, x, stride=1, padding="SAME", activation="relu",
                    out_quant=out_quant)
     return x
@@ -164,10 +169,16 @@ def apply(
     else:
         if capture is not None:
             capture["fc1"] = x
+            sp = capture.get("__specs__")
+            if sp is not None:
+                sp["fc1"] = ("linear", None, None, "relu")
         x = linear(fc1, x, activation="relu", out_quant=chain.get("fc1"))
     x = dropout(x, 0.5, rngs[3], train)
 
     if capture is not None:
         capture["fc2"] = x
+        sp = capture.get("__specs__")
+        if sp is not None:
+            sp["fc2"] = ("linear", None, None, None)
     logits = linear(params["fc2"], x)
     return logits, new_state

@@ -138,6 +138,14 @@ def _conv_bn(params, state, new_state, x, *, stride, padding, train, relu, captu
         return jax.nn.relu(y) if relu else y
     if capture is not None:
         capture[path] = x
+        sp = capture.get("__specs__")
+        if sp is not None:
+            # Static op metadata (plain python, never traced): lets layer-
+            # local consumers (quantnet/quantize/adaround.py) re-apply this
+            # exact op outside the model. Only recorded when the caller
+            # pre-seeds capture with "__specs__" — calibration's eval_shape
+            # probe returns the capture dict and must stay array-only.
+            sp[path] = ("conv", stride, padding, "relu" if relu else None)
     return conv2d(
         layer, x, stride=stride, padding=padding,
         activation="relu" if relu else None, out_quant=out_quant,
@@ -264,9 +272,23 @@ def apply(
     rng: Optional[jax.Array] = None,
     capture: Optional[dict] = None,
     conv1_scale: float = 1.0,
+    torch_pad: bool = False,
 ) -> Tuple[jax.Array, dict]:
     """Forward. conv1_scale multiplies the stem input — the reference's
-    custom_scale knob (dynamic_ptq_model.py:25-27)."""
+    custom_scale knob (dynamic_ptq_model.py:25-27).
+
+    torch_pad selects torch's SYMMETRIC conv padding at the stride-2 sites
+    (stem (3,3); 3x3 block convs (1,1)). XLA's "SAME" at stride 2 pads
+    asymmetrically ((2,3) / (0,1) on even inputs) and samples DIFFERENT
+    input positions than torch's pad=1/pad=3 — the two forwards diverge
+    completely, not by an edge effect. Trees imported from reference
+    checkpoints (quantnet/models/torch_import.py, reference
+    models/baseline_model.py / torchvision resnet50) must run with
+    torch_pad=True for numeric parity; natively-trained trees keep the
+    XLA-idiomatic default. Stride-1 3x3 SAME equals (1,1) so only stride-2
+    sites switch."""
+    pad3 = ((1, 1), (1, 1)) if torch_pad else "SAME"
+    pad_stem = ((3, 3), (3, 3)) if torch_pad else "SAME"
     new_state = jax.tree_util.tree_map(lambda v: v, state) if train else state
 
     if conv1_scale != 1.0:
@@ -283,7 +305,7 @@ def apply(
     x = _conv_bn(
         stem, state.get("conv1", {}), ns1, x,
         stride=1 if stem_s2d else 2,
-        padding="VALID" if stem_s2d else "SAME",
+        padding="VALID" if stem_s2d else pad_stem,
         train=train, relu=True, capture=capture, path="conv1",
         out_quant=_chain_aq(stem, params["layer1"]["0"]["conv1"]),
     )
@@ -330,7 +352,7 @@ def apply(
                 )
                 out = _conv_bn(
                     bp["conv2"], bs.get("conv2", {}), nbs.setdefault("conv2", {}) if train else {},
-                    out, stride=stride, padding="SAME", train=train, relu=True,
+                    out, stride=stride, padding=pad3, train=train, relu=True,
                     capture=capture, path=f"{prefix}/conv2",
                     out_quant=_chain_aq(bp["conv2"], bp["conv3"]),
                 )
@@ -345,13 +367,13 @@ def apply(
                 # (torchvision puts the stride on conv1).
                 out = _conv_bn(
                     bp["conv1"], bs.get("conv1", {}), nbs.setdefault("conv1", {}) if train else {},
-                    x, stride=stride, padding="SAME", train=train, relu=True,
+                    x, stride=stride, padding=pad3, train=train, relu=True,
                     capture=capture, path=f"{prefix}/conv1",
                     out_quant=_chain_aq(bp["conv1"], bp["conv2"]),
                 )
                 out = _conv_bn(
                     bp["conv2"], bs.get("conv2", {}), nbs.setdefault("conv2", {}) if train else {},
-                    out, stride=1, padding="SAME", train=train, relu=False,
+                    out, stride=1, padding=pad3, train=train, relu=False,
                     capture=capture, path=f"{prefix}/conv2",
                     out_quant=bp["conv2"].get("oq"),
                 )
@@ -443,5 +465,8 @@ def apply(
     x = avgpool_global(x)
     if capture is not None:
         capture["fc"] = x
+        sp = capture.get("__specs__")
+        if sp is not None:
+            sp["fc"] = ("linear", None, None, None)
     logits = linear(params["fc"], x)
     return logits, new_state

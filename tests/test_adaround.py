@@ -38,12 +38,17 @@ def tiny_apply(params, state, x, *, train=False, rng=None, capture=None):
     from quantnet.ops.conv import conv2d
     from quantnet.ops.linear import linear
 
+    sp = capture.get("__specs__") if capture is not None else None
     if capture is not None:
         capture["conv1"] = x
+        if sp is not None:
+            sp["conv1"] = ("conv", 1, "SAME", "relu")
     x = conv2d(params["conv1"], x, stride=1, padding="SAME", activation="relu")
     x = x.reshape(x.shape[0], -1)  # 4*4*8 = 128
     if capture is not None:
         capture["fc"] = x
+        if sp is not None:
+            sp["fc"] = ("linear", None, None, None)
     return linear(params["fc"], x), state
 
 
@@ -188,6 +193,24 @@ def test_refine_static_tree_keeps_wsum_consistent():
         return layer
 
     walk_layers(rp, check)
+
+
+def test_refine_reduces_output_error_w4a8():
+    """Layer-local objective on a static (input-quantized) tree: the
+    reconstruction runs from the SAME fake-quantized inputs the deployed
+    graph sees, and must still reduce the quantized model's output error."""
+    params, state = tiny_init(jax.random.PRNGKey(6))
+    batches = calib_batches(4)
+    qp, qs = static.quantize(
+        params, state, tiny_apply, batches,
+        weight_bits=4, weight_group_size=64,
+    )
+    rp, rs = adaround.refine(
+        qp, qs, params, state, tiny_apply, batches, steps=120, lr=2e-2
+    )
+    mse_nearest = logit_mse(qp, qs, params, state, batches)
+    mse_refined = logit_mse(rp, rs, params, state, batches)
+    assert mse_refined < mse_nearest, (mse_refined, mse_nearest)
 
 
 def test_layer_filter_restricts_refinement():
