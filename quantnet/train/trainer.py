@@ -298,8 +298,15 @@ class Trainer:
         return int(restored["epoch"]) + 1
 
     def train(
-        self, save_path: Optional[str] = None, *, resume: bool = False
+        self, save_path: Optional[str] = None, *, resume: bool = False,
+        reload_best: bool = True,
     ) -> Tuple[dict, dict]:
+        """reload_best keeps the reference's semantics (return the best-
+        accuracy checkpoint, model_trainer.py:104-106). Pass False to return
+        the raw end-of-training carry instead — epoch-at-a-time callers that
+        probe the actual SGD trajectory (scripts/tpu_collapse_hunt.py) need
+        the carry NOT silently reset to an older best checkpoint between
+        calls."""
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
         start_epoch = 0
@@ -355,7 +362,7 @@ class Trainer:
         # arrays) on any backend that honors donation. Repeated train()
         # calls (epoch-at-a-time loops, resumed finetunes) hit this as a
         # dead-buffer TPU runtime error.
-        if self.best is not None:
+        if reload_best and self.best is not None:
             params, state = self.best
             self.carry = (
                 jax.tree_util.tree_map(jnp.copy, params),

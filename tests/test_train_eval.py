@@ -90,6 +90,31 @@ class TestTrainStep:
                 float(jax.tree_util.tree_leaves(p)[0].sum())
             )
 
+    def test_reload_best_false_returns_raw_carry(self, tiny_data, model):
+        """ADVICE round 3: epoch-at-a-time probes (tpu_collapse_hunt) need
+        the TRUE end-of-epoch carry — train(reload_best=False) must not
+        rewind the carry to the best-so-far checkpoint."""
+        import dataclasses
+
+        train, test = tiny_data
+        params, state = model
+        cfg = TrainConfig(epochs=1, batch_size=64, lr=0.05, seed=0)
+        tr = Trainer(convnet.apply, params, state, cfg, train, test, log=None)
+        tr.train()
+        assert tr.best is not None
+        # Plant a fake 'best' the reload would restore; with epochs=0 the
+        # loop body never runs, isolating exactly the reload behavior.
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, tr.best[0])
+        tr.best = (zeros, tr.best[1])
+        tr.best_accuracy = 1.0
+        tr.cfg = dataclasses.replace(cfg, epochs=0)
+
+        p_raw, _ = tr.train(reload_best=False)
+        assert float(jnp.abs(jax.tree_util.tree_leaves(p_raw)[0]).sum()) > 0
+
+        p_best, _ = tr.train()  # default keeps reference semantics
+        assert float(jnp.abs(jax.tree_util.tree_leaves(p_best)[0]).sum()) == 0
+
     def test_adam_plateau_variant(self, tiny_data, model):
         train, test = tiny_data
         params, state = model
