@@ -155,20 +155,101 @@ def test_resnet50_structure_from_synthetic_state_dict():
     assert np.isfinite(np.asarray(logits)).all()
 
 
-def test_resnet50_forward_parity():
-    torchvision = pytest.importorskip("torchvision")
-    from torchvision.models import resnet50
+class _TorchBottleneck(nn.Module):
+    """torchvision Bottleneck (v1.5: stride on conv2), torchvision key names."""
 
+    def __init__(self, cin, width, cout, stride):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(cout),
+            )
+
+    def forward(self, x):
+        import torch.nn.functional as F
+
+        identity = x if self.downsample is None else self.downsample(x)
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return F.relu(out + identity)
+
+
+class _TorchResNet50(nn.Module):
+    """Exact torchvision resnet50 topology + state_dict key names, written
+    against plain torch (torchvision is not in this image — this fixture is
+    what binds resnet import FORWARD PARITY in CI, not just tree structure).
+    It caught a real bug: XLA "SAME" at stride 2 pads asymmetrically and is
+    NOT torch's pad=1 — resnet.apply(torch_pad=True) exists because of it."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        cin = 64
+        from quantnet.models.resnet import EXPANSION, STAGE_WIDTHS, STAGES
+
+        for si, blocks in enumerate(STAGES):
+            width = STAGE_WIDTHS[si]
+            cout = width * EXPANSION
+            layer = []
+            for bi in range(blocks):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                layer.append(
+                    _TorchBottleneck(cin if bi == 0 else cout, width, cout, stride)
+                )
+            setattr(self, f"layer{si + 1}", nn.Sequential(*layer))
+            cin = cout
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(cin, 1000)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        for si in range(4):
+            x = getattr(self, f"layer{si + 1}")(x)
+        return self.fc(self.avgpool(x).flatten(1))
+
+
+def test_resnet50_forward_parity():
     torch.manual_seed(1)
-    m = resnet50(weights=None).eval()
+    m = _TorchResNet50().eval()
     with torch.no_grad():
         _randomize_bn_stats(m, seed=1)
     x = np.random.default_rng(1).normal(size=(2, 3, 64, 64)).astype(np.float32)
     with torch.no_grad():
         ref = m(torch.from_numpy(x)).numpy()
     params, state = resnet50_from_torch(m.state_dict())
-    got, _ = resnet.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got, _ = resnet.apply(
+        params, state, jnp.asarray(x.transpose(0, 2, 3, 1)), torch_pad=True
+    )
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_resnet50_forward_parity_requires_torch_pad():
+    """Without torch_pad the stride-2 convs sample different positions than
+    torch's symmetric padding — the forwards must diverge grossly (this is
+    the failure mode the torch_pad flag fixes, not an edge effect)."""
+    torch.manual_seed(2)
+    m = _TorchResNet50().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(m, seed=2)
+    x = np.random.default_rng(2).normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x)).numpy()
+    params, state = resnet50_from_torch(m.state_dict())
+    got, _ = resnet.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert np.abs(np.asarray(got) - ref).max() > 1e-2
 
 
 def test_imported_model_quantizes(torch_convnet):
