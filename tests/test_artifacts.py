@@ -31,7 +31,13 @@ TRACKS = [
 def _load(track):
     path = os.path.join(DOCS, track, "accuracy.json")
     if not os.path.exists(path):
-        pytest.skip(f"no committed artifacts at {path}")
+        # Skips-as-failures policy (VERDICT round 3 "what's weak" #1): a
+        # track listed in TRACKS is a DECLARED deliverable; its absence must
+        # fail loudly, not hide inside "228 passed, 8 skipped". Land the
+        # artifacts (scripts/tpu_r18_224.py for the 224px track) or remove
+        # the track declaration with a written rationale.
+        pytest.fail(f"declared track {track!r} has no committed artifacts at "
+                    f"{path} — a promised deliverable is missing")
     with open(path) as f:
         return json.load(f)
 
@@ -143,7 +149,26 @@ def test_qat_recovers_static_ptq_collapse_on_chip():
         DOCS, "results_tpu_v5e_resnet50", "qat_recovery", "accuracy.json"
     )
     if not os.path.exists(path):
-        pytest.skip("qat recovery artifacts not committed yet")
+        # Skips-as-failures policy with the one honest escape hatch this
+        # demo declared: the hunt may legitimately end without catching a
+        # collapse ("a documented negative beats a manufactured demo",
+        # scripts/tpu_collapse_hunt.py). That outcome must be DOCUMENTED —
+        # a committed probe.json with a non-empty trace — or this fails.
+        probe = os.path.join(
+            DOCS, "results_tpu_v5e_resnet50", "qat_recovery", "probe.json"
+        )
+        if os.path.exists(probe):
+            with open(probe) as f:
+                trace = json.load(f).get("trace", [])
+            if trace:
+                pytest.skip(
+                    f"no collapse caught: documented negative hunt over "
+                    f"{len(trace)} probed epochs (qat_recovery/probe.json)"
+                )
+        pytest.fail(
+            "qat_recovery artifacts missing and no documented negative "
+            "hunt (probe.json) — a declared deliverable is absent"
+        )
     with open(path) as f:
         acc = json.load(f)
     fp32, static, qat = (acc[k]["top1"] for k in ("fp32", "static", "qat"))
