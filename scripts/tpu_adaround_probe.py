@@ -14,6 +14,7 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_adaround_probe.py
 """
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import sys
@@ -69,7 +70,7 @@ def main():
     tr, te = load_cifar10(
         "./data", synthetic_train_size=12800, synthetic_test_size=10240
     )
-    calib = list(tr.batches(128, drop_remainder=True))[:16]
+    calib = list(itertools.islice(tr.batches(128, drop_remainder=True), 16))
     ev = Evaluator(convnet.apply, te, batch_size=512)
 
     r_fp32 = ev.evaluate(params, state)

@@ -42,7 +42,7 @@ def main():
         "./data", image_size=64, num_classes=100,
         synthetic_train_size=25600, synthetic_test_size=2560,
     )
-    calib = list(tr.batches(128, drop_remainder=True))[:16]
+    calib = list(itertools.islice(tr.batches(128, drop_remainder=True), 16))
     ev = ModelEvaluator(apply_fn, te, batch_size=512)
 
     r = ev.evaluate(params, state)

@@ -41,7 +41,7 @@ def run_variant(tag, clip):
         "./data", synthetic_train_size=12800, synthetic_test_size=1024
     )
     batches = list(tr.batches(128, shuffle=True, seed=0, drop_remainder=True))
-    calib = list(tr.batches(128, drop_remainder=True))[:16]
+    calib = list(itertools.islice(tr.batches(128, drop_remainder=True), 16))
     qp, qs = qat.prepare(
         params, state, convnet.apply, calib,
         observer="histogram", skip_first_layer=True,

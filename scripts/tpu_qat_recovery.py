@@ -20,6 +20,7 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_qat_recovery.py
 """
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import sys
@@ -53,7 +54,7 @@ def main():
         "./data", image_size=64, num_classes=100,
         synthetic_train_size=25600, synthetic_test_size=10240,
     )
-    calib = list(tr.batches(128, drop_remainder=True))[:16]
+    calib = list(itertools.islice(tr.batches(128, drop_remainder=True), 16))
     ev = Evaluator(resnet.apply, te, batch_size=512)
 
     r_fp32 = ev.evaluate(params, state)
