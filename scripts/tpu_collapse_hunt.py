@@ -125,9 +125,43 @@ def main():
                       "granularity)", "n_probe": 2560, "trace": trace},
             f, indent=1,
         )
+    constructed = False
     if chosen is None:
-        log(f"no collapse >1.5pt in {MAX_EPOCHS} epochs; probe trace written")
-        return
+        # Organic hunt dry again -> the VERDICT-sanctioned deterministic
+        # fallback: CONSTRUCT the documented fragile configuration from the
+        # final trained weights and say so in the NOTE. A function-preserving
+        # per-channel rescale (relu positive homogeneity: block conv1's
+        # post-BN output channel c scaled by f_c via bn gamma/beta, conv2's
+        # input channel c divided by f_c — fp32 forward identical) spreads
+        # the BN-folded conv1 weight magnitudes over 3 decades, exactly the
+        # outlier-heavy weight distribution per-tensor min-max PTQ cannot
+        # represent. Same mechanism as the deterministic CPU demo
+        # (tests/test_qat.py::test_qat_recovers_ptq_collapse), now measured
+        # on chip at flagship scale.
+        import jax.numpy as jnp
+
+        log("no organic collapse; constructing the fragile config "
+            "(function-preserving channel rescale) from the final weights")
+        p, s = trainer.params, trainer.state
+        p = jax.tree_util.tree_map(lambda v: v, p)  # shallow-copy dicts
+        r_before = ev_small.evaluate(p, s)
+        for blk in ("0", "1"):
+            bp = p["layer1"][blk]
+            width = bp["conv1"]["w"].shape[-1]
+            f = jnp.logspace(-1.5, 1.5, width)
+            bp["conv1"] = dict(
+                bp["conv1"],
+                bn=dict(bp["conv1"]["bn"],
+                        gamma=bp["conv1"]["bn"]["gamma"] * f,
+                        beta=bp["conv1"]["bn"]["beta"] * f),
+            )
+            bp["conv2"] = dict(bp["conv2"], w=bp["conv2"]["w"] / f[None, None, :, None])
+        r_after = ev_small.evaluate(p, s)
+        drift = abs(r_before["top1"] - r_after["top1"])
+        log(f"rescale fp32 drift: {drift * 100:.3f}pt (function-preserving)")
+        assert drift < 0.002, "rescale must be function-preserving in fp32"
+        chosen = (p, s, -1)
+        constructed = True
 
     params, state, epoch = chosen
     log(f"collapse at epoch {epoch}; confirming on n=10,240")
@@ -171,7 +205,16 @@ def main():
     acc["checkpoint"] = {
         "model": f"resnet{DEPTH}", "epoch": epoch,
         "source": "runs/r3_hunt/fp32_collapse",
+        "constructed": constructed,
     }
+    if constructed:
+        acc["checkpoint"]["construction"] = (
+            "function-preserving per-channel rescale (layer1 conv1 bn "
+            "gamma/beta x logspace(-1.5,1.5), conv2 input channels / f) on "
+            "the final trained weights — the organic per-epoch hunt stayed "
+            "negative (probe.json), so the documented fragile config is "
+            "constructed deterministically, as the round-3 verdict sanctions"
+        )
     with open(os.path.join(OUT, "accuracy.json"), "w") as f:
         json.dump(acc, f, indent=1)
     ckpt.save_artifact(
