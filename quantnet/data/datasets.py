@@ -73,6 +73,33 @@ class Dataset:
             self._nb = NativeBatcher(self.raw_u8, self.labels, self.mean, self.std)
         return self._nb
 
+    def device_arrays(self):
+        """Ship the WHOLE split to the default device once and cache it:
+        (images_dev, labels_dev, mean_dev, std_dev) — mean/std are None for
+        f32-resident datasets (already normalized), set for u8-resident ones
+        (normalize on device; u8 also means 4x less HBM and transfer).
+
+        This is the device-resident input mode for single-chip training when
+        the split fits in HBM (quantnet/train/trainer.py device_data=True):
+        per-step input becomes a tiny int32 index vector instead of a
+        dozens-of-MB host->device batch copy — the TPU-idiomatic shape for
+        tunnel-attached chips, where per-batch streaming pays round-trip
+        latency every step (and, on the axon tunnel, leaks the transfer
+        buffer: measured ~77 MB leaked per 77 MB batch shipped, the OOM that
+        killed a 224px training run at epoch 12). Cached on the dataset so
+        several Trainer instances (train + QAT finetune) share one copy."""
+        if getattr(self, "_dev", None) is None:
+            import jax.numpy as jnp
+
+            if self.raw_u8 is not None:
+                imgs = jnp.asarray(self.raw_u8)
+                mean = jnp.asarray(self.mean, jnp.float32)
+                std = jnp.asarray(self.std, jnp.float32)
+            else:
+                imgs, mean, std = jnp.asarray(self.images), None, None
+            self._dev = (imgs, jnp.asarray(self.labels), mean, std)
+        return self._dev
+
     def sample_batch(self, batch_size: int = 8) -> Tuple[np.ndarray, np.ndarray]:
         """First `batch_size` examples (reference DatasetManager.get_sample_batch,
         utils/dataset_manager.py:46-60)."""

@@ -203,6 +203,73 @@ def make_eval_step(apply_fn: Callable):
     return step
 
 
+def _gather_normalize(dimages, sel, mean, std):
+    """Device-side batch assembly for device-resident datasets: gather rows,
+    normalize u8 storage to the same f32 the host pipeline produces."""
+    images = jnp.take(dimages, sel, axis=0)
+    if mean is not None:
+        images = (images.astype(jnp.float32) / 255.0 - mean) / std
+    return images
+
+
+def make_train_step_gather(
+    apply_fn: Callable,
+    tx,
+    label_smoothing: float = 0.0,
+    augment: bool = True,
+    *,
+    rotation_deg: float = 0.0,
+    color_jitter: float = 0.0,
+):
+    """Device-resident-data variant of make_train_step: the batch is selected
+    ON DEVICE from the resident split by a tiny int32 index vector
+    (Dataset.device_arrays) — the per-step host->device transfer drops from
+    the full batch (e.g. 77 MB at 224px bs128) to ~512 bytes.
+    step(carry, rng, dimages, dlabels, mean, std, sel)."""
+
+    def loss_fn(params, state, rng, images, labels):
+        logits, new_state = apply_fn(params, state, images, train=True, rng=rng)
+        loss = cross_entropy(logits, labels, label_smoothing)
+        acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+        return loss, (new_state, acc)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(carry, rng, dimages, dlabels, mean, std, sel):
+        params, state, opt_state = carry
+        images = _gather_normalize(dimages, sel, mean, std)
+        labels = jnp.take(dlabels, sel, axis=0)
+        r_aug, r_drop = jax.random.split(rng)
+        if augment:
+            images = augment_batch(
+                r_aug, images,
+                rotation_deg=rotation_deg, color_jitter=color_jitter,
+            )
+        (loss, (new_state, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, state, r_drop, images, labels
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, new_state, opt_state), loss, acc
+
+    return step
+
+
+def make_eval_step_gather(apply_fn: Callable):
+    @jax.jit
+    def step(params, state, dimages, dlabels, mean, std, sel, valid):
+        images = _gather_normalize(dimages, sel, mean, std)
+        labels = jnp.take(dlabels, sel, axis=0)
+        logits, _ = apply_fn(params, state, images, train=False)
+        onehot = jax.nn.one_hot(labels, logits.shape[-1])
+        per_example = -jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1)
+        vf = valid.astype(jnp.float32)
+        return jnp.sum(per_example * vf), jnp.sum(
+            (jnp.argmax(logits, -1) == labels) * vf
+        )
+
+    return step
+
+
 class Trainer:
     """Orchestrates epochs, eval, LR plateau logic and best-checkpointing."""
 
@@ -217,11 +284,20 @@ class Trainer:
         *,
         augment: bool = True,
         log: Optional[Callable[[str], None]] = print,
+        device_data: bool = False,
     ):
+        """device_data=True keeps both splits resident in device memory
+        (Dataset.device_arrays) and selects each batch on device by index —
+        single-process only; use when the splits fit in HBM and per-batch
+        host->device streaming is the bottleneck (or leaks: tunnel-attached
+        chips, docs/PERF.md round 4)."""
         self.apply_fn = apply_fn
         self.cfg = cfg
         self.train_data = train_data
         self.test_data = test_data
+        self.device_data = device_data
+        if device_data and jax.process_count() > 1:
+            raise ValueError("device_data mode is single-process only")
         if log is print and jax.process_index() != 0:
             log = None  # host-0-only logging on multi-host runs
         self.log = log or (lambda s: None)
@@ -233,12 +309,20 @@ class Trainer:
         state = jax.tree_util.tree_map(jnp.copy, state)
         self.opt_state = self.tx.init(params)
         self.carry = (params, state, self.opt_state)
-        self.train_step = make_train_step(
-            apply_fn, self.tx, cfg.label_smoothing, augment,
-            rotation_deg=getattr(cfg, "aug_rotation_deg", 0.0),
-            color_jitter=getattr(cfg, "aug_color_jitter", 0.0),
-        )
-        self.eval_step = make_eval_step(apply_fn)
+        if device_data:
+            self.train_step = make_train_step_gather(
+                apply_fn, self.tx, cfg.label_smoothing, augment,
+                rotation_deg=getattr(cfg, "aug_rotation_deg", 0.0),
+                color_jitter=getattr(cfg, "aug_color_jitter", 0.0),
+            )
+            self.eval_step = make_eval_step_gather(apply_fn)
+        else:
+            self.train_step = make_train_step(
+                apply_fn, self.tx, cfg.label_smoothing, augment,
+                rotation_deg=getattr(cfg, "aug_rotation_deg", 0.0),
+                color_jitter=getattr(cfg, "aug_color_jitter", 0.0),
+            )
+            self.eval_step = make_eval_step(apply_fn)
         self.best_accuracy = 0.0
         self.best = None  # (params, state)
         self.history = []
@@ -262,6 +346,20 @@ class Trainer:
         n = len(self.test_data)
         seen = 0
         bs = self.cfg.batch_size
+        if self.device_data:
+            dimages, dlabels, mean, std = self.test_data.device_arrays()
+            for start in range(0, n, bs):
+                n_valid = min(bs, n - start)
+                sel = (start + np.arange(bs)) % n  # pad by wrapping
+                valid = (np.arange(bs) < n_valid).astype(np.float32)
+                loss, top1 = self.eval_step(
+                    params, state, dimages, dlabels, mean, std,
+                    jnp.asarray(sel, jnp.int32), valid,
+                )
+                total_loss += float(loss)
+                total_top1 += float(top1)
+                seen += n_valid
+            return total_loss / max(seen, 1), total_top1 / max(seen, 1)
         for images, labels in self.test_data.batches(bs, pad_remainder=True):
             bsz = images.shape[0]
             n_valid = min(bsz, n - seen)
@@ -320,15 +418,41 @@ class Trainer:
             # point of async dispatch is step i+1's host work overlapping step
             # i's device work).
             losses, accs = [], []
-            for images, labels in self.train_data.batches(
-                cfg.batch_size, shuffle=True, seed=cfg.seed + epoch, drop_remainder=True
-            ):
-                rng, step_rng = jax.random.split(rng)
-                self.carry, loss, acc = self.train_step(
-                    self.carry, step_rng, images, labels
-                )
-                losses.append(loss)
-                accs.append(acc)
+            if self.device_data:
+                # Same seeded permutation the host pipeline uses
+                # (Dataset.batches shuffle), so batch contents are identical;
+                # only the assembly moves on device.
+                dimages, dlabels, mean, std = self.train_data.device_arrays()
+                n = len(self.train_data)
+                if self.train_data.raw_u8 is not None:
+                    # u8 host epochs shuffle via the native C++ PRNG; use the
+                    # same source so batch contents match the host path.
+                    perm = self.train_data._batcher().shuffled_indices(
+                        cfg.seed + epoch
+                    )
+                else:
+                    perm = np.random.default_rng(cfg.seed + epoch).permutation(n)
+                for start in range(0, n - (n % cfg.batch_size), cfg.batch_size):
+                    rng, step_rng = jax.random.split(rng)
+                    sel = jnp.asarray(
+                        perm[start:start + cfg.batch_size], jnp.int32
+                    )
+                    self.carry, loss, acc = self.train_step(
+                        self.carry, step_rng, dimages, dlabels, mean, std, sel
+                    )
+                    losses.append(loss)
+                    accs.append(acc)
+            else:
+                for images, labels in self.train_data.batches(
+                    cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
+                    drop_remainder=True,
+                ):
+                    rng, step_rng = jax.random.split(rng)
+                    self.carry, loss, acc = self.train_step(
+                        self.carry, step_rng, images, labels
+                    )
+                    losses.append(loss)
+                    accs.append(acc)
             n_steps = len(losses)
             ep_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
             ep_acc = float(jnp.sum(jnp.stack(accs))) if accs else 0.0

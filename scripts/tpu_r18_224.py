@@ -90,7 +90,13 @@ def main():
             epochs=EPOCHS, batch_size=128, lr=0.1, optimizer="sgd_cosine",
             seed=0, save_dir=os.path.join(RUN, "ckpt"), warmup_epochs=1.0,
         )
-        trainer = Trainer(resnet.apply, params, state, cfg, tr, te_small)
+        # device_data: both splits live in HBM, batches select by index on
+        # device. Without it the axon tunnel leaks every shipped batch
+        # (~77 MB/step at these shapes) and a 28-epoch run OOM-kills the
+        # host at ~epoch 12 (measured round 4, docs/PERF.md).
+        trainer = Trainer(
+            resnet.apply, params, state, cfg, tr, te_small, device_data=True
+        )
         # resume=True: a tunnel stall mid-training (observed round 4: the
         # axon RPC wedged at epoch 5 for 45+ min) costs only the epochs
         # since the last best checkpoint, not the whole run.
@@ -137,7 +143,9 @@ def main():
         epochs=QAT_EPOCHS, batch_size=128, lr=0.01, optimizer="sgd_cosine",
         seed=0, save_dir=os.path.join(RUN, "qat"), grad_clip_norm=1.0,
     )
-    qtrainer = Trainer(resnet.apply, fq_p, fq_s, qcfg, tr, te_small)
+    qtrainer = Trainer(
+        resnet.apply, fq_p, fq_s, qcfg, tr, te_small, device_data=True
+    )
     fq_p, fq_s = qtrainer.train()
     schemes["qat"] = (qat.bake(fq_p), fq_s)
 

@@ -115,6 +115,43 @@ class TestTrainStep:
         p_best, _ = tr.train()  # default keeps reference semantics
         assert float(jnp.abs(jax.tree_util.tree_leaves(p_best)[0]).sum()) == 0
 
+    def test_device_data_mode_matches_host_streaming(self, tiny_data, model):
+        """device_data=True (whole split resident on device, batches selected
+        by index — the tunnel-leak-proof input mode) must reproduce the host
+        streaming path: same seeded permutation, same batch contents, same
+        rng stream, so per-epoch losses and final eval match."""
+        train, test = tiny_data
+        params, state = model
+        cfg = TrainConfig(epochs=2, batch_size=64, lr=0.05, seed=3)
+        a = Trainer(convnet.apply, params, state, cfg, train, test, log=None)
+        a.train()
+        b = Trainer(convnet.apply, params, state, cfg, train, test, log=None,
+                    device_data=True)
+        b.train()
+        for ra, rb in zip(a.history, b.history):
+            assert abs(ra["train_loss"] - rb["train_loss"]) < 1e-5, (ra, rb)
+            assert abs(ra["test_acc"] - rb["test_acc"]) < 1e-6, (ra, rb)
+
+    def test_device_data_mode_u8_dataset(self):
+        """u8-resident datasets ride device_data too: u8 ships once (4x less
+        HBM), normalization runs on device, metrics match the host path."""
+        from quantnet.data.datasets import CIFAR10_MEAN, CIFAR10_STD, Dataset
+
+        rng = np.random.default_rng(5)
+        raw = rng.integers(0, 256, (192, 16, 16, 3), dtype=np.uint8)
+        labels = rng.integers(0, 10, 192).astype(np.int32)
+        ds = Dataset(None, labels, 10, "u8-dev", raw_u8=raw,
+                     mean=CIFAR10_MEAN, std=CIFAR10_STD)
+        params, state = convnet.init(jax.random.PRNGKey(0), image_size=16)
+        cfg = TrainConfig(epochs=1, batch_size=64, lr=0.05, seed=0)
+        a = Trainer(convnet.apply, params, state, cfg, ds, ds, log=None)
+        a.train()
+        b = Trainer(convnet.apply, params, state, cfg, ds, ds, log=None,
+                    device_data=True)
+        b.train()
+        assert abs(a.history[0]["train_loss"] - b.history[0]["train_loss"]) < 1e-4
+        assert abs(a.history[0]["test_acc"] - b.history[0]["test_acc"]) < 1e-6
+
     def test_adam_plateau_variant(self, tiny_data, model):
         train, test = tiny_data
         params, state = model
