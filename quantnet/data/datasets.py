@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import pickle
 from dataclasses import dataclass
+from functools import partial
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -36,6 +37,34 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 CIFAR10_CLASSES = (
     "plane", "car", "bird", "cat", "deer", "dog", "frog", "horse", "ship", "truck",
 )
+
+
+def _chunked_device_put(arr: np.ndarray, chunk_bytes: int = 1 << 28):
+    """Ship a large host array to the device in ~256 MB slices, assembled
+    into a single preallocated device buffer via donated dynamic updates
+    (peak device memory = buffer + one chunk, never 2x).
+
+    One multi-GB device_put wedged the axon tunnel for 15+ minutes (round 4,
+    docs/PERF.md) while the same bytes stream fine at batch-sized transfers;
+    chunking keeps each RPC in the regime the tunnel demonstrably handles.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if arr.nbytes <= chunk_bytes:
+        return jnp.asarray(arr)
+    rows = max(int(chunk_bytes // max(arr[0].nbytes, 1)), 1)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def update(buf, chunk, start):
+        return jax.lax.dynamic_update_slice_in_dim(buf, chunk, start, axis=0)
+
+    buf = jnp.zeros(arr.shape, arr.dtype)
+    for s in range(0, arr.shape[0], rows):
+        chunk = jnp.asarray(np.ascontiguousarray(arr[s:s + rows]))
+        # static chunk rows except possibly the tail: two compiles max
+        buf = update(buf, chunk, s)
+    return buf
 
 
 @dataclass
@@ -92,11 +121,11 @@ class Dataset:
             import jax.numpy as jnp
 
             if self.raw_u8 is not None:
-                imgs = jnp.asarray(self.raw_u8)
+                imgs = _chunked_device_put(self.raw_u8)
                 mean = jnp.asarray(self.mean, jnp.float32)
                 std = jnp.asarray(self.std, jnp.float32)
             else:
-                imgs, mean, std = jnp.asarray(self.images), None, None
+                imgs, mean, std = _chunked_device_put(self.images), None, None
             self._dev = (imgs, jnp.asarray(self.labels), mean, std)
         return self._dev
 

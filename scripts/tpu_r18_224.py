@@ -65,15 +65,45 @@ def main():
         f"devices: {jax.devices()} classes={N_CLASSES} epochs={EPOCHS} "
         f"train_n={TRAIN_N}"
     )
-    tr, te = make_synthetic(
-        N_CLASSES, IMG, TRAIN_N, TEST_N, name="imagenet224-synthetic"
-    )
-    # Small split for per-epoch eval during training (full 10,240 at 224 px
-    # per epoch would be transfer-dominated); same distribution, same seed
-    # family, disjoint draw from the final eval only in sample count.
-    _, te_small = make_synthetic(
-        N_CLASSES, IMG, 1, 1024, name="imagenet224-synthetic"
-    )
+    # Disk-cache the deterministic synthetic splits: generation at 224 px is
+    # ~15 min of 2-core host CPU per launch, and tunnel stalls make restarts
+    # a normal part of a run's life. mmap-load keeps host RSS low; the
+    # device upload reads slices (chunked device_put).
+    import numpy as np
+
+    cache = os.path.join("runs", f"r224_cache_c{N_CLASSES}_n{TRAIN_N}")
+    if os.path.exists(cache + ".ok"):
+        log("loading cached synthetic splits (mmap)")
+        xtr = np.load(cache + "_xtr.npy", mmap_mode="r")
+        ytr = np.load(cache + "_ytr.npy")
+        xte = np.load(cache + "_xte.npy", mmap_mode="r")
+        yte = np.load(cache + "_yte.npy")
+        xsm = np.load(cache + "_xsm.npy", mmap_mode="r")
+        ysm = np.load(cache + "_ysm.npy")
+        from quantnet.data.datasets import Dataset
+
+        tr = Dataset(xtr, ytr, N_CLASSES, "imagenet224-synthetic-train")
+        te = Dataset(xte, yte, N_CLASSES, "imagenet224-synthetic-test")
+        te_small = Dataset(xsm, ysm, N_CLASSES, "imagenet224-synthetic-test")
+    else:
+        tr, te = make_synthetic(
+            N_CLASSES, IMG, TRAIN_N, TEST_N, name="imagenet224-synthetic"
+        )
+        # Small split for per-epoch eval during training (full 10,240 at
+        # 224 px per epoch would be transfer-dominated); same distribution,
+        # same seed family, differs from the final eval only in sample count.
+        _, te_small = make_synthetic(
+            N_CLASSES, IMG, 1, 1024, name="imagenet224-synthetic"
+        )
+        os.makedirs("runs", exist_ok=True)
+        np.save(cache + "_xtr.npy", tr.images)
+        np.save(cache + "_ytr.npy", tr.labels)
+        np.save(cache + "_xte.npy", te.images)
+        np.save(cache + "_yte.npy", te.labels)
+        np.save(cache + "_xsm.npy", te_small.images)
+        np.save(cache + "_ysm.npy", te_small.labels)
+        open(cache + ".ok", "w").write("ok")
+        log("cached synthetic splits to disk")
 
     os.makedirs(RUN, exist_ok=True)
     fp32_path = os.path.join(RUN, "saved", "fp32")
