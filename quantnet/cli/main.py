@@ -158,14 +158,36 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
     # scales on linear layers — ~8x weight compression at the same epilogue
     # cost; see quantnet/quantize/weight_only.py.
     int4_gs = getattr(args, "int4_group_size", 128) or None
+    # Measured int4 guard (opt-in): layers whose int4 damage is an outlier
+    # keep 8-bit weights inside the sub-byte tiers
+    # (quantnet/quantize/policy.py::int4_guard; ~0.4% size cost where it
+    # triggers, docs/PERF.md round 4).
+    guard_rel = getattr(args, "int4_guard", 0.0) or 0.0
+    guard = {}
+    if guard_rel > 0:
+        from quantnet.quantize.common import first_layer_path
+        from quantnet.quantize.policy import int4_guard
+
+        guard = int4_guard(
+            apply_fn, params, state, calib[:2],
+            group_size=int4_gs, rel_threshold=guard_rel,
+        )
+        if guard:
+            print(f"int4 guard: 8-bit weights kept at {sorted(guard)}")
     out["weight_only_int4"] = weight_only.quantize(
-        params, state, bits=4, group_size=int4_gs,
+        params, state, bits=4, group_size=int4_gs, layer_policy=guard or None,
     )
     # W4A8: 4-bit weights INSIDE the static int8-activation MXU path —
     # sub-byte size AND static's speedup (quantnet/quantize/static.py).
+    w4a8_guard = dict(guard)
+    if skip_first and w4a8_guard:
+        # the stem is already fp32-skipped on this tier; an explicit policy
+        # entry would override the skip and statically quantize it instead
+        w4a8_guard.pop(first_layer_path(fparams), None)
     out["w4a8"] = static.bake(
         fparams, fstate, act_qparams,
         skip_first_layer=skip_first, weight_bits=4, weight_group_size=int4_gs,
+        layer_policy=w4a8_guard or None,
     )
     # Learned rounding (AdaRound-style) on the sub-byte tiers. Opt-in
     # (quantnet/quantize/adaround.py); see docs/PERF.md for the measured
@@ -614,6 +636,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="learned-rounding (AdaRound-style) refinement steps "
                          "for the sub-byte tiers (weight_only_int4 + w4a8); "
                          "0 disables (quantnet/quantize/adaround.py)")
+    sp.add_argument("--int4-guard", type=float, default=0.0,
+                    help="sub-byte tiers: keep 8-bit weights at layers whose "
+                         "measured int4 damage exceeds this multiple of the "
+                         "median (0 disables; 50 catches the early-layer "
+                         "outliers on resnet at 224px - docs/PERF.md)")
     sp.add_argument("--skip-first-layer", action="store_true",
                     help="static scheme: keep the stem in fp32 compute "
                          "(int8 handoff out) — faster and more accurate for "
@@ -703,6 +730,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--adaround-steps", type=int, default=0,
                     help="learned-rounding refinement steps for the sub-byte "
                          "tiers (see quantize --adaround-steps)")
+    sp.add_argument("--int4-guard", type=float, default=0.0,
+                    help="sub-byte tiers: keep 8-bit weights at layers whose "
+                         "measured int4 damage exceeds this multiple of the "
+                         "median (0 disables; 50 catches the early-layer "
+                         "outliers on resnet at 224px - docs/PERF.md)")
     sp.add_argument("--skip-first-layer", action="store_true",
                     help="static scheme: fp32 stem with int8 handoff out")
     sp.add_argument("--pre-add-quant", action="store_true",

@@ -216,10 +216,19 @@ class ProbeGate:
 
     gate:        f32 scalar; 1. = this layer runs quantized this lane.
     per_channel: static — weight-quant axis choice for the quantized lane.
+    bits:        static — weight bit width for the quantized lane (8 or 4).
+    group_size:  static — group-wise scale granularity (linear layers).
+    act_quant:   static — True probes the dynamic-int8 path (weights AND
+                 activations, the `optimized` scheme's damage model); False
+                 probes weight-only (fp32 activations — the damage model for
+                 the sub-byte weight tiers' int4 guard).
     """
 
     gate: jax.Array
     per_channel: bool = struct.field(pytree_node=False, default=True)
+    bits: int = struct.field(pytree_node=False, default=8)
+    group_size: Optional[int] = struct.field(pytree_node=False, default=None)
+    act_quant: bool = struct.field(pytree_node=False, default=True)
 
 
 def is_quantized(leaf: Any) -> bool:

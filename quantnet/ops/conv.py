@@ -160,8 +160,11 @@ def conv2d(
 
         base = {k: v for k, v in layer.items() if k != "probe"}
         qlayer = dict(base)
-        qlayer["w"] = quantize_weight(w, probe.per_channel)
-        qlayer["aq"] = DynamicActQuant()
+        qlayer["w"] = quantize_weight(
+            w, probe.per_channel, bits=probe.bits, group_size=probe.group_size
+        )
+        if probe.act_quant:
+            qlayer["aq"] = DynamicActQuant()
         kwargs = dict(stride=stride, padding=padding, activation=activation)
         y_fp = conv2d(base, x, **kwargs)
         y_q = conv2d(qlayer, x, **kwargs)

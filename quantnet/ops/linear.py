@@ -108,8 +108,11 @@ def linear(
 
         base = {k: v for k, v in layer.items() if k != "probe"}
         qlayer = dict(base)
-        qlayer["w"] = quantize_weight(w, probe.per_channel)
-        qlayer["aq"] = DynamicActQuant()
+        qlayer["w"] = quantize_weight(
+            w, probe.per_channel, bits=probe.bits, group_size=probe.group_size
+        )
+        if probe.act_quant:
+            qlayer["aq"] = DynamicActQuant()
         y_fp = linear(base, x, activation=activation)
         y_q = linear(qlayer, x, activation=activation)
         return maybe_requantize(

@@ -50,6 +50,9 @@ def measure_sensitivity(
     probe_batches: Iterable,
     *,
     per_channel: bool = True,
+    bits: int = 8,
+    group_size: Optional[int] = None,
+    act_quant: bool = True,
 ) -> Dict[str, float]:
     """Per-layer quantization damage: MSE(FP32 logits, logits with only that
     layer quantized through the real dynamic-int8 dispatch), averaged over
@@ -75,7 +78,8 @@ def measure_sensitivity(
             def tag(path, layer):
                 out = dict(layer)
                 out["probe"] = ProbeGate(
-                    gate=onehot[index[path]], per_channel=per_channel
+                    gate=onehot[index[path]], per_channel=per_channel,
+                    bits=bits, group_size=group_size, act_quant=act_quant,
                 )
                 return out
 
@@ -92,6 +96,37 @@ def measure_sensitivity(
 
     d = np.asarray(total) / max(len(batches), 1)
     return {p: float(d[i]) for p, i in index.items()}
+
+
+def int4_guard(
+    apply_fn: Callable,
+    params: dict,
+    state: dict,
+    probe_batches: Iterable,
+    *,
+    group_size: Optional[int] = 128,
+    rel_threshold: float = 50.0,
+) -> Dict[str, str]:
+    """Measured per-layer guard for the sub-byte weight tiers: layers whose
+    int4 weight-only damage exceeds `rel_threshold` x the median damage stay
+    at 8-bit weights (layer_policy action "int8").
+
+    Motivation (measured, 224px resnet18 track — docs/PERF.md round 4): the
+    int4 loss is NOT uniform; two early layers (the 7x7 stem and
+    layer1/0/conv1, together 0.4% of the weight bytes) carried 200-560x the
+    median per-layer damage and alone pushed the tier from about -1pt to
+    -5pt top-1. Guarding by measured damage is the per-layer-policy
+    philosophy of the reference's optimized scheme applied within a tier,
+    and costs ~nothing in size. One compiled program for the whole sweep
+    (the ProbeGate mechanism with weight-only int4 lanes)."""
+    damage = measure_sensitivity(
+        apply_fn, params, state, probe_batches,
+        bits=4, group_size=group_size, act_quant=False,
+    )
+    vals = sorted(damage.values())
+    med = vals[len(vals) // 2] if vals else 0.0
+    cut = rel_threshold * max(med, 1e-12)
+    return {p: "int8" for p, d in damage.items() if d > cut}
 
 
 def build_policy(

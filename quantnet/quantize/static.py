@@ -284,9 +284,13 @@ def _bake(params, state, act_qparams, per_channel, skip_last_layer,
         ):
             return dict(layer)
         out = dict(layer)
+        # action "int8": per-layer sub-byte guard (policy.int4_guard) — this
+        # layer's weights stay 8-bit inside a weight_bits=4 bake; the int8
+        # activation path is identical either way.
+        lbits = 8 if action == "int8" else weight_bits
         qw = quantize_weight(
-            layer["w"], per_channel, bits=weight_bits,
-            group_size=weight_group_size,
+            layer["w"], per_channel, bits=lbits,
+            group_size=weight_group_size if lbits == weight_bits else None,
         )
         out["w"] = qw
         scale, zp = act_qparams[path]

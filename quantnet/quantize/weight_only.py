@@ -44,8 +44,13 @@ def _transform(
         if action == "fp32" or (skip_last_layer and path == last):
             return dict(layer)
         out = dict(layer)
+        # action "int8": per-layer guard inside a sub-byte tier — this layer
+        # stays at 8-bit per-channel weights (quantnet/quantize/policy.py::
+        # int4_guard, measured-damage outliers).
+        lbits = 8 if action == "int8" else bits
         out["w"] = quantize_weight(
-            layer["w"], per_channel, bits=bits, group_size=group_size
+            layer["w"], per_channel, bits=lbits,
+            group_size=group_size if lbits == bits else None,
         )
         return out
 
