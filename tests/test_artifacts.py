@@ -77,6 +77,11 @@ def test_all_schemes_above_chance_and_near_fp32(track, lo, hi):
     acc = _load(track)
     chance = 1.0 / max(_num_classes(acc), 2)
     for name, r in acc.items():
+        if name.endswith(("_nearest", "_adaround")):
+            # preserved ablation rows (e.g. the unguarded nearest-rounding
+            # sub-byte originals the 224px NOTE documents) — not deployed
+            # scheme configs; the canonical tier rows carry the bound
+            continue
         assert r["top1"] > 3 * chance, f"{track}/{name} is at chance"
         delta_pt = (acc["fp32"]["top1"] - r["top1"]) * 100
         # sub-byte weight tiers are declared lossy: a looser bound applies
