@@ -152,12 +152,32 @@ def main():
         fparams, fstate, act_qparams, skip_first_layer=True
     )
     schemes["weight_only"] = weight_only.quantize(params, state)
-    schemes["weight_only_int4"] = weight_only.quantize(
-        params, state, bits=4, group_size=128
+    # Sub-byte deployment config for this track (measured round 4, NOTE.md):
+    # per-layer int4 damage is wildly non-uniform at 224px — keep 8-bit
+    # weights at the measured outliers (0.4% of bytes), then refine the int4
+    # rounding layer-locally. Without both: int4 -5.04pt; with: +0.02pt.
+    from quantnet.quantize import adaround
+    from quantnet.quantize.common import first_layer_path
+    from quantnet.quantize.policy import int4_guard
+
+    guard = int4_guard(resnet.apply, params, state, calib[:2])
+    log(f"int4 guard (8-bit weights kept): {sorted(guard)}")
+    w4a8_guard = dict(guard)
+    w4a8_guard.pop(first_layer_path(fparams), None)
+    ar_steps = int(os.environ.get("R224_ADAROUND", "600"))
+    schemes["weight_only_int4"] = adaround.refine(
+        *weight_only.quantize(
+            params, state, bits=4, group_size=128, layer_policy=guard or None
+        ),
+        params, state, resnet.apply, calib, steps=ar_steps, max_examples=256,
     )
-    schemes["w4a8"] = static.bake(
-        fparams, fstate, act_qparams, skip_first_layer=True,
-        weight_bits=4, weight_group_size=128,
+    schemes["w4a8"] = adaround.refine(
+        *static.bake(
+            fparams, fstate, act_qparams, skip_first_layer=True,
+            weight_bits=4, weight_group_size=128,
+            layer_policy=w4a8_guard or None,
+        ),
+        params, state, resnet.apply, calib, steps=ar_steps, max_examples=256,
     )
     qp, qs, _policy = quantize_optimized(
         params, state, resnet.apply, calib[:2], importance="static_map"
