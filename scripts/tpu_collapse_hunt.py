@@ -95,7 +95,14 @@ def main():
         # instead of the transient states this hunt exists to catch
         # (round-3 advisor finding, ADVICE.md).
         trainer.train(reload_best=False)
-        p, s = trainer.params, trainer.state
+        # RESTART the 1-epoch cosine for the next call: the schedule's step
+        # count lives in opt_state, so without this reset the lr pins at the
+        # cosine floor (0.0) after the first call — the round-3 hunt was
+        # silently training at lr 0 from epoch 1 on, probing a frozen model
+        # ten times. A fresh opt_state is exactly the documented
+        # "restarted one-epoch cosine at lr 0.1" regime.
+        p, s, _ = trainer.carry
+        trainer.carry = (p, s, trainer.tx.init(p))
         try:
             r_fp = ev_small.evaluate(p, s)
             qp, qs = static.quantize(p, s, resnet.apply, calib, **probe_kw)
