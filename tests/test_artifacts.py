@@ -117,14 +117,15 @@ def test_full_scheme_matrix_present(track, lo, hi):
 def test_adaround_on_chip_measurement_pinned():
     """Learned rounding (quantnet/quantize/adaround.py) measured on the real
     chip against the committed sub-byte artifacts
-    (scripts/tpu_adaround_probe.py). The measured verdict at the shipped
-    config (net-output objective, 400 steps, 16x128 calib) is NEGATIVE —
-    -0.30pt int4 / -0.08pt w4a8 vs nearest rounding, the joint-objective
-    overfit the original AdaRound paper motivates its layer-wise objective
-    with — so the feature stays opt-in (--adaround-steps, default 0) and
-    docs/PERF.md records the A/B. This test pins the probe's contract: rows
-    present, flip fractions sane, and no catastrophic regression (>0.5pt)
-    that would indicate a broken bake."""
+    (scripts/tpu_adaround_probe.py, 400 steps, 16x128 calib, n=10,240).
+
+    History this pin encodes: round 3's NETWORK-level objective measured
+    NEGATIVE (-0.30pt int4 / -0.08pt w4a8 vs nearest); round 4 replaced it
+    with the paper's LAYER-LOCAL reconstruction and the A/B flipped positive
+    (+0.43pt int4 / +0.82pt w4a8 on the CIFAR track; +4.4pt / +2.1pt
+    together with the int4 guard on the 224px track). The committed probe
+    rows must therefore IMPROVE on nearest rounding — a regression means the
+    objective or the bake broke."""
     path = os.path.join(DOCS, "results_tpu_v5e", "adaround", "accuracy.json")
     if not os.path.exists(path):
         pytest.skip("adaround probe artifacts not committed yet")
@@ -132,10 +133,10 @@ def test_adaround_on_chip_measurement_pinned():
         acc = json.load(f)
     for tier in ("weight_only_int4", "w4a8"):
         base, ref = acc[tier], acc[f"{tier}_adaround"]
-        delta_pt = (base["top1"] - ref["top1"]) * 100
-        assert delta_pt < 0.5, (
-            f"{tier}: adaround bake regressed {delta_pt:+.2f}pt — beyond "
-            "measured objective-mismatch noise; the rounding bake is broken"
+        gain_pt = (ref["top1"] - base["top1"]) * 100
+        assert gain_pt > 0.0, (
+            f"{tier}: layer-local adaround no longer improves on nearest "
+            f"rounding ({gain_pt:+.2f}pt) — objective or bake regressed"
         )
         assert 0.0 < ref["flipped_fraction"] < 0.05, (
             "flip fraction outside the plausible 1-LSB refinement range"
