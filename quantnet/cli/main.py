@@ -380,12 +380,28 @@ def cmd_evaluate(args):
     models, test_data, classes = _collect_models(args)
     if not models:
         raise SystemExit("no artifacts to evaluate; run train/quantize first")
+    subset = [m for m in (getattr(args, "models", "") or "").split(",") if m]
+    if subset:
+        missing = [m for m in subset if m not in models]
+        if missing:
+            raise SystemExit(f"no artifacts for {missing}; have {sorted(models)}")
+        models = {m: models[m] for m in subset}
     results = compare_models(
         models, test_data, batch_size=args.eval_batch_size, class_names=classes
     )
     os.makedirs(args.results_dir, exist_ok=True)
-    with open(os.path.join(args.results_dir, "accuracy.json"), "w") as f:
-        json.dump(results, f, indent=2, default=str)
+    out_path = os.path.join(args.results_dir, "accuracy.json")
+    if subset and os.path.exists(out_path):
+        # Subset re-evaluation MERGES into the existing table — a user
+        # re-measuring one scheme must not silently clobber the other rows.
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results_to_write = merged
+    else:
+        results_to_write = results
+    with open(out_path, "w") as f:
+        json.dump(results_to_write, f, indent=2, default=str)
     for name, r in results.items():
         print(f"{name}: top1={r['top1']:.4f} top5={r['top5']:.4f} (n={r['n']})")
         if getattr(args, "per_class", False) and r.get("per_class"):
@@ -676,6 +692,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("evaluate")
     common(sp)
     sp.add_argument("--eval-batch-size", type=int, default=512)
+    sp.add_argument("--models", default="",
+                    help="comma-separated subset of artifacts to evaluate "
+                         "(default: all present); subset results MERGE into "
+                         "an existing accuracy.json instead of replacing it")
     sp.add_argument("--per-class", action="store_true",
                     help="print per-class accuracy (top 20, sorted desc)")
     sp.set_defaults(fn=cmd_evaluate)

@@ -177,3 +177,29 @@ def test_quantize_stage_consumes_only_calibration_batches():
     out = _quantize_all(convnet.apply, params, state, CountingData(), args)
     assert "static" in out and "optimized" in out
     assert pulls["n"] == args.calibration_batches, pulls["n"]
+
+
+def test_evaluate_subset_merges_into_existing_accuracy(workdir):
+    """`evaluate --models <subset>` re-measures only those schemes and MERGES
+    into accuracy.json — it must not clobber the other rows (the docstring
+    advertised --models since round 1; round 4 implements it)."""
+    save, results, common = workdir
+    path = os.path.join(results, "accuracy.json")
+    with open(path) as f:
+        before = json.load(f)
+    assert "static" in before and "fp32" in before
+    main([
+        "evaluate", *common, "--eval-batch-size", "32", "--models", "qat",
+    ])
+    with open(path) as f:
+        after = json.load(f)
+    assert set(after) == set(before)  # nothing dropped
+    for name in before:
+        if name != "qat":
+            assert after[name]["top1"] == before[name]["top1"], name
+
+
+def test_evaluate_unknown_model_fails_loudly(workdir):
+    save, results, common = workdir
+    with pytest.raises(SystemExit):
+        main(["evaluate", *common, "--models", "nonexistent"])
