@@ -38,7 +38,17 @@ def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "convnet"
     per_thread = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     rng = jax.random.PRNGKey(0)
-    if model == "resnet50":
+    if model == "r18_224":
+        # Serve the COMMITTED 224px-track fp32 checkpoint statically
+        # quantized — request latency/throughput at the reference's ImageNet
+        # serving shape (docs/results_tpu_v5e_r18_224/).
+        from quantnet.train import checkpoint as ckpt
+
+        apply_fn = resnet.apply
+        size, buckets = 224, (1, 8, 32, 64)
+        tree, _ = ckpt.load_artifact("runs/r3_r18_224/saved/fp32")
+        params, state = tree["params"], tree["state"]
+    elif model == "resnet50":
         apply_fn = resnet.apply
         size, buckets = 64, (1, 8, 32, 128)
         params, state = resnet.init(rng, num_classes=100, depth=50)
