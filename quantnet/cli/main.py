@@ -295,9 +295,16 @@ def cmd_quantize(args):
 
 def cmd_qat(args):
     """Quantization-aware training: finetune the fp32 artifact through fake
-    quantization (quantnet/quantize/qat.py), bake a static-INT8 tree, save it
+    quantization (quantnet/quantize/qat.py), bake a deployable tree, save it
     as the 'qat' artifact (evaluate/bench/report pick it up alongside the PTQ
-    schemes)."""
+    schemes).
+
+    --weight-bits 4 targets the sub-byte tiers (the tiers where PTQ
+    organically loses accuracy): the default bake is the W4A8 contract
+    (saved as 'qat_w4a8'); --weight-only trains/bakes the weight_only_int4
+    contract instead ('qat_int4'). --init-from w4a8 (or weight_only_int4)
+    starts the finetune from that artifact's — typically AdaRound-refined —
+    weights instead of the raw fp32 tree."""
     from quantnet.core.config import TrainConfig
     from quantnet.quantize import qat
     from quantnet.train import checkpoint as ckpt
@@ -318,10 +325,52 @@ def cmd_qat(args):
             args.calibration_batches,
         )
     )
+    weight_bits = getattr(args, "weight_bits", 8)
+    weight_only = getattr(args, "weight_only", False)
+    group_size = (
+        (getattr(args, "weight_group_size", 128) or None)
+        if weight_bits == 4 else None
+    )
+    # Measured int4 guard inside a sub-byte QAT (same semantics as the
+    # quantize command): outlier layers train and bake at 8-bit weights.
+    guard = {}
+    guard_rel = getattr(args, "int4_guard", 0.0) or 0.0
+    if weight_bits == 4 and guard_rel > 0:
+        from quantnet.quantize.common import first_layer_path
+        from quantnet.quantize.policy import int4_guard
+
+        guard = int4_guard(
+            apply_fn, params, state, calib[:2],
+            group_size=group_size, rel_threshold=guard_rel,
+        )
+        if guard and getattr(args, "skip_first_layer", False):
+            guard.pop(first_layer_path(params), None)
+        if guard:
+            print(f"int4 guard: 8-bit weight islands at {sorted(guard)}")
+    init_from = getattr(args, "init_from", "") or ""
+    fold = True
+    if init_from:
+        src = _artifact_path(args.save_dir, init_from)
+        if not os.path.exists(src + ".json"):
+            raise SystemExit(f"--init-from artifact {src!r} not found; "
+                             "run quantize first")
+        tree, _ = ckpt.load_artifact(src)
+        # Quantized artifacts are BN-folded; rebuild fp32 weights on the
+        # (refined) rounding grid and skip the re-fold.
+        params, state = qat.dequantize_tree(tree["params"]), tree["state"]
+        fold = False
     qp, qs = qat.prepare(
         params, state, apply_fn, calib, observer=args.observer,
         per_channel=not getattr(args, "per_tensor", False),
         skip_first_layer=getattr(args, "skip_first_layer", False),
+        # weight-only tier keeps the classifier fp32 (reference
+        # custom_quantization_model.py:219, weight_only.quantize default)
+        skip_last_layer=weight_only,
+        layer_policy=guard or None,
+        weight_bits=weight_bits,
+        weight_group_size=group_size,
+        act_quant=not weight_only,
+        fold=fold,
     )
     cfg = TrainConfig(
         epochs=args.epochs,
@@ -338,15 +387,20 @@ def cmd_qat(args):
     trainer = Trainer(apply_fn, qp, qs, cfg, train_data, test_data)
     qp, qs = trainer.train()  # best-accuracy tree, reloaded at train end
     baked = qat.bake(qp)
+    name = getattr(args, "artifact_name", "") or (
+        "qat" if weight_bits == 8
+        else ("qat_int4" if weight_only else "qat_w4a8")
+    )
     os.makedirs(args.save_dir, exist_ok=True)
     ckpt.save_artifact(
-        _artifact_path(args.save_dir, "qat"),
+        _artifact_path(args.save_dir, name),
         {"params": baked, "state": qs},
-        {"model": args.model, "scheme": "qat",
+        {"model": args.model, "scheme": name,
+         "weight_bits": weight_bits, "init_from": init_from or None,
          "qat_best_accuracy": trainer.best_accuracy},
     )
     print(f"qat finetune best accuracy (fake-quant graph): "
-          f"{trainer.best_accuracy:.4f}; saved qat artifact")
+          f"{trainer.best_accuracy:.4f}; saved {name} artifact")
 
 
 def _collect_models(args):
@@ -366,7 +420,8 @@ def _collect_models(args):
     )
     models = {}
     for name in ["fp32", "bf16", "dynamic", "static", "weight_only",
-                 "weight_only_int4", "w4a8", "optimized", "qat"]:
+                 "weight_only_int4", "w4a8", "optimized", "qat",
+                 "qat_int4", "qat_w4a8"]:
         path = _artifact_path(args.save_dir, name)
         if os.path.exists(path + ".json"):
             tree, _ = ckpt.load_artifact(path)
@@ -687,6 +742,28 @@ def build_parser() -> argparse.ArgumentParser:
                          "deployed graph — see quantize --per-tensor)")
     sp.add_argument("--skip-first-layer", action="store_true",
                     help="keep the stem fp32 (deployment policy; see quantize)")
+    sp.add_argument("--weight-bits", type=int, default=8, choices=[8, 4],
+                    help="weight fake-quant width; 4 = sub-byte QAT, the "
+                         "tiers where PTQ organically loses accuracy")
+    sp.add_argument("--weight-group-size", type=int, default=128,
+                    help="group-wise scale granularity for 4-bit linear "
+                         "weights (0 = per-channel; see quantize "
+                         "--int4-group-size)")
+    sp.add_argument("--weight-only", action="store_true",
+                    help="train/bake the weight_only_int4 contract "
+                         "(fp32 activations, classifier fp32) instead of "
+                         "W4A8")
+    sp.add_argument("--init-from", default="",
+                    help="start the finetune from this quantized artifact's "
+                         "(typically AdaRound-refined) weights, e.g. 'w4a8' "
+                         "or 'weight_only_int4'")
+    sp.add_argument("--int4-guard", type=float, default=0.0,
+                    help="rel-damage threshold: outlier layers train/bake "
+                         "at 8-bit weights inside a sub-byte QAT (see "
+                         "quantize --int4-guard)")
+    sp.add_argument("--artifact-name", default="",
+                    help="override the saved artifact name (defaults: qat / "
+                         "qat_w4a8 / qat_int4 by config)")
     sp.set_defaults(fn=cmd_qat)
 
     sp = sub.add_parser("evaluate")

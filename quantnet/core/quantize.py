@@ -181,15 +181,33 @@ def fake_quant_act_ste(x: jax.Array, scale, zero_point) -> jax.Array:
     return xc + jax.lax.stop_gradient(fq - xc)
 
 
-def fake_quant_weight_ste(w: jax.Array, per_channel: bool = True) -> jax.Array:
+def fake_quant_weight_ste(
+    w: jax.Array,
+    per_channel: bool = True,
+    bits: int = 8,
+    group_size: Optional[int] = None,
+) -> jax.Array:
     """STE symmetric fake quantization (QAT weight path).
 
     The scale tracks the live weight's absmax each step (per-output-channel
     when per_channel), so no value ever falls outside the range and the plain
     STE (identity gradient) is exact.
+
+    bits / group_size select the sub-byte grid for sub-byte QAT; the
+    grouped-vs-per-channel fallback mirrors quantnet/quantize/common.py::
+    quantize_weight exactly (grouped only for per-channel 2-D weights with a
+    dividing K), so qat.bake() deploys the same grid training simulated.
     """
-    axis = (w.ndim - 1) if per_channel else None
-    fq = fake_quantize_symmetric(w, axis)
+    if (
+        per_channel
+        and group_size is not None
+        and w.ndim == 2
+        and w.shape[0] % group_size == 0
+    ):
+        fq = quantize_symmetric_grouped(w, group_size, bits=bits).dequantize()
+    else:
+        axis = (w.ndim - 1) if per_channel else None
+        fq = quantize_symmetric(w, axis, bits=bits).dequantize()
     return w + jax.lax.stop_gradient(fq - w)
 
 

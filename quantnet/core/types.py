@@ -170,33 +170,58 @@ class FakeQuant:
     as pytree aux data: no array leaves, so optimizers never touch them, and
     jit re-traces if they change. per_channel records the weight-quant axis
     choice so bake() matches what training simulated.
+
+    Sub-byte QAT (round 5 — the tiers where PTQ actually loses accuracy):
+    weight_bits (8 or 4) and weight_group_size select the weight fake-quant
+    grid, mirroring quantize_weight's grouped/per-channel rules so bake()
+    reproduces exactly what training simulated. act_quant=False trains a
+    weight-only island (activations stay fp32, matching the weight_only tier's
+    deployed graph); scale/zero_point are then unused.
     """
 
-    def __init__(self, scale: float, zero_point: int, per_channel: bool = True):
+    def __init__(
+        self,
+        scale: float,
+        zero_point: int,
+        per_channel: bool = True,
+        weight_bits: int = 8,
+        weight_group_size: Optional[int] = None,
+        act_quant: bool = True,
+    ):
         self.scale = float(scale)
         self.zero_point = int(zero_point)
         self.per_channel = bool(per_channel)
+        self.weight_bits = int(weight_bits)
+        self.weight_group_size = (
+            None if weight_group_size is None else int(weight_group_size)
+        )
+        self.act_quant = bool(act_quant)
+
+    def _aux(self):
+        return (
+            self.scale, self.zero_point, self.per_channel,
+            self.weight_bits, self.weight_group_size, self.act_quant,
+        )
 
     def __repr__(self):
         return (
             f"FakeQuant(scale={self.scale!r}, zero_point={self.zero_point!r}, "
-            f"per_channel={self.per_channel!r})"
+            f"per_channel={self.per_channel!r}, "
+            f"weight_bits={self.weight_bits!r}, "
+            f"weight_group_size={self.weight_group_size!r}, "
+            f"act_quant={self.act_quant!r})"
         )
 
     def __eq__(self, other):
-        return (
-            isinstance(other, FakeQuant)
-            and (self.scale, self.zero_point, self.per_channel)
-            == (other.scale, other.zero_point, other.per_channel)
-        )
+        return isinstance(other, FakeQuant) and self._aux() == other._aux()
 
     def __hash__(self):
-        return hash((FakeQuant, self.scale, self.zero_point, self.per_channel))
+        return hash((FakeQuant,) + self._aux())
 
 
 jax.tree_util.register_pytree_node(
     FakeQuant,
-    lambda node: ((), (node.scale, node.zero_point, node.per_channel)),
+    lambda node: ((), node._aux()),
     lambda aux, children: FakeQuant(*aux),
 )
 

@@ -180,8 +180,18 @@ def conv2d(
         # simulation of the deployed static-INT8 graph.
         from quantnet.core.quantize import fake_quant_act_ste, fake_quant_weight_ste
 
-        xq = fake_quant_act_ste(x, fq.scale, fq.zero_point)
-        wq = fake_quant_weight_ste(w, per_channel=fq.per_channel)
+        # act_quant=False trains a weight-only island (fp32 activations —
+        # the weight_only tier's deployed graph); sub-byte weight grids via
+        # fq.weight_bits / weight_group_size (round-5 sub-byte QAT).
+        xq = (
+            fake_quant_act_ste(x, fq.scale, fq.zero_point)
+            if fq.act_quant
+            else x
+        )
+        wq = fake_quant_weight_ste(
+            w, per_channel=fq.per_channel, bits=fq.weight_bits,
+            group_size=fq.weight_group_size,
+        )
         # HIGHEST precision: the deployed int8 graph this simulates is exact
         # integer math; TPU default-bf16 conv noise inside the STE graph
         # destabilizes the (normalization-free, BN-folded) finetune — the

@@ -124,8 +124,17 @@ def linear(
         # QAT training island — see quantnet/ops/conv.py::conv2d.
         from quantnet.core.quantize import fake_quant_act_ste, fake_quant_weight_ste
 
-        xq = fake_quant_act_ste(x, fq.scale, fq.zero_point)
-        wq = fake_quant_weight_ste(w, per_channel=fq.per_channel)
+        # act_quant / sub-byte weight grid — see the matching fq branch in
+        # quantnet/ops/conv.py::conv2d.
+        xq = (
+            fake_quant_act_ste(x, fq.scale, fq.zero_point)
+            if fq.act_quant
+            else x
+        )
+        wq = fake_quant_weight_ste(
+            w, per_channel=fq.per_channel, bits=fq.weight_bits,
+            group_size=fq.weight_group_size,
+        )
         # HIGHEST precision: see the matching QAT island note in
         # quantnet/ops/conv.py::conv2d (TPU default-bf16 matmul noise
         # destabilizes the BN-folded STE finetune).

@@ -1,5 +1,5 @@
 """Quantization-aware training (QAT): finetune through fake-quantization, then
-bake a deployable static-INT8 tree.
+bake a deployable quantized tree.
 
 Beyond-reference capability: the reference's "custom quantization" schemes
 wrap layers in QuantStub/DeQuantStub islands but never train through them
@@ -23,6 +23,20 @@ Recipe (all pure pytree transforms, reusing the PTQ machinery):
      become ActQuant leaves — structurally identical to static.quantize
      output, so evaluation, benchmarking, serialization and serving all work
      unchanged.
+
+Sub-byte QAT (round 5): the tiers where accuracy is organically lost are the
+4-bit weight tiers (CIFAR int4 −0.43pt, w4a8 −0.17pt after AdaRound — the
+round-4 verdict), exactly where QAT is the standard tool. prepare() therefore
+takes weight_bits / weight_group_size (the same grid arguments as
+static.bake's W4A8 tier and weight_only.quantize's int4 tier) and
+act_quant=False for weight-only islands; bake() emits trees matching those
+tiers' artifact contracts bit-for-bit in structure (grouped QTensor weights,
+per-group wsum corrections on the W4A8 path, no 'aq' on the weight-only
+path). dequantize_tree() lets the finetune START from an AdaRound-refined
+tree — learned rounding as initialization, gradient descent from there.
+This realizes the per-layer-precision intent of the reference's optimized
+scheme (models/optimized_custom_quantization.py:79-128) at the precision
+tiers its all-identical-qconfig implementation never differentiated.
 """
 from __future__ import annotations
 
@@ -31,7 +45,7 @@ from typing import Callable, Iterable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from quantnet.core.types import ActQuant, FakeQuant
+from quantnet.core.types import ActQuant, FakeQuant, QTensor
 from quantnet.quantize import static
 from quantnet.quantize.common import (
     first_layer_path,
@@ -55,22 +69,39 @@ def prepare(
     skip_last_layer: bool = False,
     skip_first_layer: bool = False,
     layer_policy: Optional[dict] = None,
+    weight_bits: int = 8,
+    weight_group_size: Optional[int] = None,
+    act_quant: bool = True,
+    fold: bool = True,
 ) -> Tuple[dict, dict]:
-    """FP32 (params, state) -> QAT-ready (params', {}) with 'fq' markers.
+    """FP32 (params, state) -> QAT-ready (params', state') with 'fq' markers.
 
-    Folds BN, calibrates per-layer input ranges (one pass over
-    calibration_batches), and attaches a FakeQuant static leaf per quantizable
-    layer. skip_first_layer / skip_last_layer / layer_policy follow the same
+    Folds BN (unless fold=False — pass an already-folded tree, e.g. one
+    rebuilt from a quantized artifact via dequantize_tree), calibrates
+    per-layer input ranges (one pass over calibration_batches), and attaches
+    a FakeQuant static leaf per quantizable layer.
+
+    skip_first_layer / skip_last_layer / layer_policy follow the same
     semantics as static.quantize (an explicit layer_policy entry wins over
-    the skip flags); any policy value other than 'qat' leaves the layer in
-    fp32 for both training and bake.
+    the skip flags). Policy actions: 'fp32' leaves the layer untouched for
+    both training and bake; 'int8' pins the layer's weight fake-quant to
+    8-bit (the int4_guard action inside a weight_bits=4 prepare — mirrors
+    static._bake); anything else trains at `weight_bits`.
+
+    weight_bits=4 (+ weight_group_size) simulates the sub-byte weight grid;
+    act_quant=False trains weight-only islands (activations fp32 — the
+    weight_only tier's deployed graph; no calibration pass is run).
     """
-    params, state = fold_model_jit(params, state)
-    act_qparams = jax.device_get(
-        static.calibrate(
-            apply_fn, params, state, calibration_batches, observer=observer
+    if fold:
+        params, state = fold_model_jit(params, state)
+    if act_quant:
+        act_qparams = jax.device_get(
+            static.calibrate(
+                apply_fn, params, state, calibration_batches, observer=observer
+            )
         )
-    )
+    else:
+        act_qparams = None
     last = last_layer_path(params)
     first = first_layer_path(params)
 
@@ -79,7 +110,7 @@ def prepare(
         explicit = bool(layer_policy) and (
             path in layer_policy or path.rsplit("/", 1)[-1] in layer_policy
         )
-        if action != "qat" or (
+        if action == "fp32" or (
             not explicit
             and (
                 (skip_last_layer and path == last)
@@ -88,8 +119,18 @@ def prepare(
         ):
             return dict(layer)
         out = dict(layer)
-        scale, zp = act_qparams[path]
-        out["fq"] = FakeQuant(float(scale), int(zp), per_channel)
+        if act_qparams is not None:
+            scale, zp = act_qparams[path]
+            scale, zp = float(scale), int(zp)
+        else:
+            scale, zp = 1.0, 0  # unused on the weight-only path
+        lbits = 8 if action == "int8" else weight_bits
+        out["fq"] = FakeQuant(
+            scale, zp, per_channel,
+            weight_bits=lbits,
+            weight_group_size=weight_group_size if lbits == weight_bits else None,
+            act_quant=act_quant,
+        )
         return out
 
     return walk_layers(params, q), state
@@ -97,23 +138,57 @@ def prepare(
 
 @jax.jit
 def bake(qat_params: dict) -> dict:
-    """QAT tree -> deployable static-INT8 tree (same structure as
-    static.quantize output: QTensor weights, ActQuant input domains, wsum
-    zero-point corrections). Layers without 'fq' stay fp32. One jitted device
-    program for the whole bake (same rationale as static._bake)."""
+    """QAT tree -> deployable quantized tree.
+
+    act_quant islands bake to the static contract (QTensor weights, ActQuant
+    input domains, wsum zero-point corrections — per-group for grouped
+    weights); weight-only islands (act_quant=False) bake to the weight_only
+    contract (QTensor weights only). Sub-byte grids follow each island's
+    FakeQuant (weight_bits / weight_group_size), so mixed-precision policies
+    (int4_guard) survive the round trip. Layers without 'fq' stay fp32. One
+    jitted device program for the whole bake (same rationale as
+    static._bake)."""
 
     def q(path: str, layer: dict) -> dict:
         fq = layer.get("fq")
         if fq is None:
             return dict(layer)
         out = {k: v for k, v in layer.items() if k != "fq"}
-        qw = quantize_weight(layer["w"], fq.per_channel)
-        out["w"] = qw
-        out["aq"] = ActQuant(
-            scale=jnp.asarray(fq.scale, jnp.float32),
-            zero_point=jnp.asarray(fq.zero_point, jnp.int32),
+        qw = quantize_weight(
+            layer["w"], fq.per_channel, bits=fq.weight_bits,
+            group_size=fq.weight_group_size,
         )
-        out["wsum"] = weight_colsum(qw)
+        out["w"] = qw
+        if fq.act_quant:
+            out["aq"] = ActQuant(
+                scale=jnp.asarray(fq.scale, jnp.float32),
+                zero_point=jnp.asarray(fq.zero_point, jnp.int32),
+            )
+            out["wsum"] = weight_colsum(qw)
         return out
 
     return walk_layers(qat_params, q)
+
+
+@jax.jit
+def dequantize_tree(qparams: dict) -> dict:
+    """Quantized tree -> fp32 tree with weights rebuilt from the quantized
+    payloads (QTensor.dequantize); 'aq'/'wsum'/'oq' leaves dropped.
+
+    The initialization bridge from PTQ refinement to QAT: an
+    AdaRound-refined tree's dequantized weights sit on the refined rounding
+    grid, so a sub-byte finetune starting here begins from the best known
+    rounding instead of nearest (VERDICT round-4 task 2: "finetune from the
+    AdaRound-refined trees"). The result is already BN-folded if the source
+    tier folded (static/W4A8/weight_only all do) — pass fold=False to
+    prepare()."""
+
+    def q(path: str, layer: dict) -> dict:
+        out = {
+            k: v for k, v in layer.items() if k not in ("aq", "wsum", "oq")
+        }
+        if isinstance(layer["w"], QTensor):
+            out["w"] = layer["w"].dequantize()
+        return out
+
+    return walk_layers(qparams, q)

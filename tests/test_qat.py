@@ -182,6 +182,125 @@ def test_qat_recovers_ptq_collapse():
     assert qat_res["top1"] >= ptq["top1"] + 0.05, (qat_res, ptq)  # QAT recovers
 
 
+def test_weight_ste_subbyte_forward_matches_quantizer():
+    """Sub-byte STE forward must sit exactly on the grid the deployed tier
+    quantizes to (same grouped/per-channel fallback as quantize_weight)."""
+    from quantnet.quantize.common import quantize_weight
+
+    w2d = jax.random.normal(jax.random.PRNGKey(7), (256, 32))
+    got = fake_quant_weight_ste(w2d, True, bits=4, group_size=128)
+    ref = quantize_weight(w2d, True, bits=4, group_size=128).dequantize()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-7)
+    # conv kernels (4-D) fall back to per-channel, like quantize_weight
+    w4d = jax.random.normal(jax.random.PRNGKey(8), (3, 3, 4, 8))
+    got = fake_quant_weight_ste(w4d, True, bits=4, group_size=128)
+    ref = quantize_weight(w4d, True, bits=4, group_size=128).dequantize()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-7)
+    # gradient stays identity
+    g = jax.grad(
+        lambda v: jnp.sum(fake_quant_weight_ste(v, True, 4, 128) * 3.0)
+    )(w2d)
+    np.testing.assert_allclose(np.asarray(g), 3.0 * np.ones(w2d.shape), atol=1e-6)
+
+
+def test_subbyte_qat_bake_matches_w4a8_contract(fp32_model, calib_batches):
+    """bake() of a weight_bits=4 prepare emits the W4A8 artifact structure:
+    grouped sub-byte QTensor weights on linear layers, per-channel int4 on
+    convs, ActQuant + per-group wsum — identical leaf structure to
+    static.quantize(weight_bits=4)."""
+    params, state = fp32_model
+    qp, qs = qat.prepare(
+        params, state, convnet.apply, calib_batches,
+        weight_bits=4, weight_group_size=128, skip_first_layer=True,
+        layer_policy={"conv2": "int8"},
+    )
+    assert "fq" not in qp["conv1"]  # skip_first_layer
+    assert qp["conv2"]["fq"].weight_bits == 8  # guard action
+    assert qp["conv2"]["fq"].weight_group_size is None
+    assert qp["fc1"]["fq"].weight_bits == 4
+    assert qp["fc1"]["fq"].weight_group_size == 128
+    baked = qat.bake(qp)
+    ref, _ = static.quantize(
+        params, state, convnet.apply, calib_batches,
+        weight_bits=4, weight_group_size=128, skip_first_layer=True,
+        layer_policy={"conv2": "int8"},
+    )
+    for name in ("conv2", "conv3", "fc1", "fc2"):
+        b, r = baked[name]["w"], ref[name]["w"]
+        assert (b.bits, b.group_size, b.axis) == (r.bits, r.group_size, r.axis), name
+        assert b.values.shape == r.values.shape
+        assert baked[name]["wsum"].shape == ref[name]["wsum"].shape
+        assert isinstance(baked[name]["aq"], ActQuant)
+    # prepared straight from fp32 (no finetune steps), the baked weights are
+    # the nearest-rounding quantization — bit-identical to the PTQ tier
+    np.testing.assert_array_equal(
+        np.asarray(baked["fc1"]["w"].values), np.asarray(ref["fc1"]["w"].values)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 32, 32, 3))
+    a, _ = convnet.apply(baked, qs, x)
+    assert bool(jnp.all(jnp.isfinite(a)))
+
+
+def test_weight_only_qat_island(fp32_model):
+    """act_quant=False: no calibration pass needed, activations stay fp32 in
+    training, and bake() emits the weight_only tier's contract (QTensor
+    weights, no ActQuant/wsum, classifier fp32)."""
+    from quantnet.quantize import weight_only
+
+    params, state = fp32_model
+    qp, qs = qat.prepare(
+        params, state, convnet.apply, [],  # no calibration needed
+        weight_bits=4, weight_group_size=128,
+        act_quant=False, skip_last_layer=True,
+    )
+    assert not qp["fc1"]["fq"].act_quant
+    assert "fq" not in qp["fc2"]  # classifier fp32, weight_only default
+    # training forward differs from fp32 only by the weight rounding
+    x = jax.random.normal(jax.random.PRNGKey(10), (4, 32, 32, 3))
+    logits, _ = convnet.apply(qp, qs, x)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    baked = qat.bake(qp)
+    ref, _ = weight_only.quantize(
+        params, state, bits=4, group_size=128
+    )
+    for name in ("conv1", "fc1"):
+        assert "aq" not in baked[name] and "wsum" not in baked[name]
+        b, r = baked[name]["w"], ref[name]["w"]
+        assert (b.bits, b.group_size, b.axis) == (r.bits, r.group_size, r.axis)
+        np.testing.assert_array_equal(
+            np.asarray(b.values), np.asarray(r.values)
+        )
+
+
+def test_dequantize_tree_bridges_refined_ptq_to_qat(fp32_model, calib_batches):
+    """dequantize_tree puts an (AdaRound-refined) quantized tree's weights
+    back on fp32 on the refined grid; prepare(fold=False) over it round-trips
+    to the same payload values (the finetune starts FROM the refined
+    rounding, not nearest-of-original)."""
+    params, state = fp32_model
+    sp, ss = static.quantize(
+        params, state, convnet.apply, calib_batches,
+        weight_bits=4, weight_group_size=128,
+    )
+    deq = qat.dequantize_tree(sp)
+    assert "aq" not in deq["fc1"] and "wsum" not in deq["fc1"]
+    np.testing.assert_allclose(
+        np.asarray(deq["fc1"]["w"]), np.asarray(sp["fc1"]["w"].dequantize()),
+        atol=1e-7,
+    )
+    qp, qs = qat.prepare(
+        deq, ss, convnet.apply, calib_batches,
+        weight_bits=4, weight_group_size=128, fold=False,
+    )
+    rebaked = qat.bake(qp)
+    # zero finetune steps -> requantizing the dequantized grid reproduces the
+    # refined payloads exactly (the grid is a fixed point of the quantizer)
+    np.testing.assert_array_equal(
+        np.asarray(rebaked["fc1"]["w"].values),
+        np.asarray(sp["fc1"]["w"].values),
+    )
+
+
 def test_qat_artifact_roundtrip(fp32_model, calib_batches, tmp_path):
     from quantnet.train import checkpoint as ckpt
 
