@@ -24,6 +24,14 @@ Design notes:
     batch assembly, and host assembly never waits for the device round trip
     (which dominates on a tunnel-attached chip). In-flight depth is bounded
     at 2 for backpressure.
+  - uint8 wire format (wire_dtype="uint8" + normalize): request payloads are
+    raw u8 HWC images, normalized ON DEVICE inside the precompiled forward —
+    4x less host->device transfer per request than f32. At 224 px the f32
+    payload is 602 KB/request and the measured serve bench was
+    transport-bound (58 req/s while the same chip chained 43,858 img/s —
+    docs/PERF.md round 4); u8 is the deployment wire format. Same
+    normalization math as the training input pipeline
+    (quantnet/data/datasets.py::device_arrays).
 """
 from __future__ import annotations
 
@@ -57,13 +65,21 @@ class InferenceEngine:
         max_wait_ms: float = 2.0,
         precompile: bool = True,
         mesh=None,
+        wire_dtype: str = "float32",
+        normalize: Optional[Tuple] = None,
     ):
         """With a mesh (jax.sharding.Mesh with a 'data' axis), batches are
         sharded data-parallel across it: params/state replicated once at
         startup, each bucket batch split over devices by the partitioner —
         BASELINE.json config 5's continuous batching over a pod slice. Buckets
         are rounded up to multiples of the mesh's data-axis size so shards
-        stay static-shaped."""
+        stay static-shaped.
+
+        wire_dtype="uint8" switches the request payload to raw u8 HWC;
+        `normalize` = (mean, std) per-channel stats (the training pipeline's,
+        e.g. Dataset.mean/std) applied on device as (x/255 - mean)/std inside
+        the precompiled forward. Payloads shrink 4x; the engine's compute
+        graph sees exactly the same f32 the host pipeline would produce."""
         self.mesh = mesh
         if mesh is not None:
             from quantnet.parallel.mesh import (
@@ -84,9 +100,27 @@ class InferenceEngine:
         self.image_shape = tuple(image_shape)
         self.buckets = tuple(sorted(buckets))
         self.max_wait_s = max_wait_ms / 1e3
-        self._fwd = jax.jit(
-            lambda p, s, x: apply_fn(p, s, x, train=False)[0]
-        )
+        if wire_dtype not in ("float32", "uint8"):
+            raise ValueError(f"unsupported wire_dtype {wire_dtype!r}")
+        if wire_dtype == "uint8" and normalize is None:
+            raise ValueError(
+                "wire_dtype='uint8' needs normalize=(mean, std) — the u8 "
+                "payload is normalized on device"
+            )
+        self.wire_dtype = np.dtype(wire_dtype)
+        if wire_dtype == "uint8":
+            mean = jnp.asarray(normalize[0], jnp.float32)
+            std = jnp.asarray(normalize[1], jnp.float32)
+            self._fwd = jax.jit(
+                lambda p, s, x: apply_fn(
+                    p, s, (x.astype(jnp.float32) / 255.0 - mean) / std,
+                    train=False,
+                )[0]
+            )
+        else:
+            self._fwd = jax.jit(
+                lambda p, s, x: apply_fn(p, s, x, train=False)[0]
+            )
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
@@ -111,11 +145,21 @@ class InferenceEngine:
     # -- public API -------------------------------------------------------
 
     def submit(self, image: np.ndarray) -> "Future[np.ndarray]":
-        """Enqueue one image; resolves to its logits vector."""
+        """Enqueue one image; resolves to its logits vector.
+
+        The payload must match the engine's wire dtype: a float image on a
+        uint8-wire engine (or vice versa) is rejected rather than silently
+        cast — a cast would corrupt the data (floats truncated to 0-255
+        codes, or u8 codes interpreted as already-normalized floats)."""
+        image = np.asarray(image)
         if tuple(image.shape) != self.image_shape:
             raise ValueError(f"expected {self.image_shape}, got {image.shape}")
+        if image.dtype != self.wire_dtype:
+            raise TypeError(
+                f"engine wire dtype is {self.wire_dtype}, got {image.dtype}"
+            )
         fut: Future = Future()
-        self._queue.put((np.asarray(image, np.float32), fut, time.perf_counter()))
+        self._queue.put((image, fut, time.perf_counter()))
         return fut
 
     def predict(self, image: np.ndarray, timeout: Optional[float] = None) -> np.ndarray:
@@ -125,7 +169,7 @@ class InferenceEngine:
     def warmup(self):
         """Precompile every bucket program (one compile per static shape)."""
         for b in self.buckets:
-            x = np.zeros((b, *self.image_shape), np.float32)
+            x = np.zeros((b, *self.image_shape), self.wire_dtype)
             xd = (
                 jax.device_put(x, self._x_sharding)
                 if self._x_sharding is not None
@@ -219,7 +263,7 @@ class InferenceEngine:
         coalescing the next batch while the device computes this one."""
         n = len(batch)
         b = self._pick_bucket(n)
-        x = np.zeros((b, *self.image_shape), np.float32)
+        x = np.zeros((b, *self.image_shape), self.wire_dtype)
         for i, (img, _, _) in enumerate(batch):
             x[i] = img
         try:

@@ -4,7 +4,13 @@ Drives quantnet/serve/server.py::InferenceEngine with concurrent
 single-image submitters (static-INT8 artifact) and reports sustained
 request throughput, latency percentiles, and batch occupancy.
 
-Usage: python scripts/tpu_serve_bench.py [convnet|resnet50] [requests_per_client]
+Usage: python scripts/tpu_serve_bench.py
+         [convnet|resnet50|r18_224|r18_224_f32|r50_224] [requests_per_client]
+
+224px modes serve the committed track checkpoints; r18_224/r50_224 use the
+uint8 wire format (4x smaller payloads, normalize on device — the
+deployment config), r18_224_f32 preserves the round-4 f32-wire measurement
+for the A/B.
 
 Note on absolute numbers: each dispatched batch pays a host<->device round
 trip; on a tunnel-attached device that round trip dominates single-request
@@ -38,7 +44,11 @@ def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "convnet"
     per_thread = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     rng = jax.random.PRNGKey(0)
-    if model == "r18_224":
+    # u8 wire is the 224px deployment config (4x smaller request payloads,
+    # normalize on device — VERDICT round-4 task 3); r18_224_f32 preserves
+    # the round-4 transport-bound measurement for the A/B.
+    wire_u8 = model in ("r18_224", "r50_224")
+    if model in ("r18_224", "r18_224_f32", "r50_224"):
         # Serve the COMMITTED 224px-track fp32 checkpoint statically
         # quantized — request latency/throughput at the reference's ImageNet
         # serving shape (docs/results_tpu_v5e_r18_224/).
@@ -46,7 +56,11 @@ def main():
 
         apply_fn = resnet.apply
         size, buckets = 224, (1, 8, 32, 64)
-        tree, _ = ckpt.load_artifact("runs/r3_r18_224/saved/fp32")
+        src = (
+            "runs/r5_r50_224/saved/fp32"
+            if model == "r50_224" else "runs/r3_r18_224/saved/fp32"
+        )
+        tree, _ = ckpt.load_artifact(src)
         params, state = tree["params"], tree["state"]
     elif model == "resnet50":
         apply_fn = resnet.apply
@@ -65,18 +79,33 @@ def main():
     jax.block_until_ready(qp)
     log(f"quantized {model}; starting engine (precompiling buckets)")
 
+    # Normalization stats for the u8 wire: the synthetic 224px track trains
+    # on (x/255 - mean)/std with ImageNet stats (quantnet/data/datasets.py).
+    from quantnet.data.datasets import IMAGENET_MEAN, IMAGENET_STD
+
+    wire_kwargs = (
+        {"wire_dtype": "uint8", "normalize": (IMAGENET_MEAN, IMAGENET_STD)}
+        if wire_u8 else {}
+    )
     with InferenceEngine(
         apply_fn, qp, qs, image_shape=(size, size, 3), buckets=buckets,
-        max_wait_ms=2.0,
+        max_wait_ms=2.0, **wire_kwargs,
     ) as eng:
-        log("warm; load test")
+        log(f"warm; load test (wire={'u8' if wire_u8 else 'f32'})")
         # Open-loop-ish load: each client keeps a window of in-flight async
         # submissions (closed-loop predict() would cap throughput at
         # n_clients / round-trip regardless of engine batching).
         n_threads, window = 8, 64
         lat = []
         lock = threading.Lock()
-        img = np.random.default_rng(0).normal(size=(size, size, 3)).astype(np.float32)
+        if wire_u8:
+            img = np.random.default_rng(0).integers(
+                0, 256, size=(size, size, 3), dtype=np.uint8
+            )
+        else:
+            img = np.random.default_rng(0).normal(
+                size=(size, size, 3)
+            ).astype(np.float32)
 
         def client():
             mine = []

@@ -205,3 +205,36 @@ def test_burst_slo_occupancy_and_p95(small_model):
         f"p95 {stats['p95_ms']:.1f}ms exceeds SLO bound {bound_ms:.1f}ms "
         f"(t_batch {t_batch*1e3:.1f}ms, occupancy {occ:.2f})"
     )
+
+
+def test_uint8_wire_matches_host_normalized_f32(small_model):
+    """uint8 wire format (round 5, VERDICT task 3): raw u8 HWC payloads are
+    normalized on device inside the precompiled forward; logits must match
+    serving the host-normalized f32 image on an f32-wire engine. 4x less
+    transfer per request — the deployment wire format for the
+    transport-bound serving path (docs/PERF.md round 4)."""
+    apply_fn, params, state = small_model
+    rng = np.random.default_rng(1)
+    img_u8 = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    mean = np.asarray([0.49, 0.48, 0.45], np.float32)
+    std = np.asarray([0.25, 0.24, 0.26], np.float32)
+    img_f32 = (img_u8.astype(np.float32) / 255.0 - mean) / std
+    direct, _ = apply_fn(params, state, img_f32[None], train=False)
+    with InferenceEngine(
+        apply_fn, params, state, buckets=(1, 4), precompile=False,
+        wire_dtype="uint8", normalize=(mean, std),
+    ) as eng:
+        got = eng.predict(img_u8, timeout=60)
+        # wrong-dtype payloads are rejected, not silently cast
+        with pytest.raises(TypeError):
+            eng.submit(img_f32)
+    np.testing.assert_allclose(got, np.asarray(direct)[0], rtol=2e-4, atol=2e-5)
+
+
+def test_uint8_wire_requires_normalize(small_model):
+    apply_fn, params, state = small_model
+    with pytest.raises(ValueError):
+        InferenceEngine(
+            apply_fn, params, state, buckets=(1,), precompile=False,
+            wire_dtype="uint8",
+        )
