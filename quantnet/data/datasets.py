@@ -129,6 +129,16 @@ class Dataset:
             self._dev = (imgs, jnp.asarray(self.labels), mean, std)
         return self._dev
 
+    def release_device(self):
+        """Drop the cached device-resident copy; the next device_arrays()
+        call re-uploads. Frees HBM between pipeline stages that don't need
+        the split resident — e.g. between training and AdaRound's
+        activation capture, which at ResNet-50/224px scale cannot coexist
+        with a 1.9 GB resident training split on one 16 GB chip (measured
+        round 5: the r50 224px run OOM'd exactly there)."""
+        self._dev = None
+        self._dev_mesh = None
+
     def sample_batch(self, batch_size: int = 8) -> Tuple[np.ndarray, np.ndarray]:
         """First `batch_size` examples (reference DatasetManager.get_sample_batch,
         utils/dataset_manager.py:46-60)."""
