@@ -474,6 +474,16 @@ def cmd_bench(args):
     models, test_data, _ = _collect_models(args)
     if not models:
         raise SystemExit("no artifacts to bench; run train/quantize first")
+    if getattr(args, "s4_runtime", False):
+        # True 4-bit HBM payloads for the sub-byte tiers' bench rows
+        # (quantnet/quantize/common.py::s4_runtime_tree; numerics identical,
+        # weight bytes halved — the bs=1 serving lever).
+        from quantnet.quantize.common import s4_runtime_tree
+
+        models = {
+            name: (fn, s4_runtime_tree(p), s)
+            for name, (fn, p, s) in models.items()
+        }
     bench = InferenceBenchmark(
         image_size=test_data.image_size,
         warmup=args.warmup,
@@ -782,6 +792,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch-sizes", default="1,32,1024")
     sp.add_argument("--warmup", type=int, default=10)
     sp.add_argument("--iters", type=int, default=100)
+    sp.add_argument("--s4-runtime", action="store_true",
+                    help="cast sub-byte tiers' weight payloads to true 4-bit "
+                         "HBM residency before benching (identical numerics; "
+                         "halves weight bytes — the bs=1 serving lever)")
     sp.set_defaults(fn=cmd_bench)
 
     sp = sub.add_parser("report")

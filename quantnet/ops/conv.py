@@ -101,6 +101,10 @@ def _im2col(x: jax.Array, kh: int, kw: int, stride: int) -> jax.Array:
 def _int8_conv(qx, qw, stride, pads, pad_value) -> jax.Array:
     """int8 NHWC conv -> accumulator (int32, or f32 when emulated), with
     explicit padding by `pad_value` (the zero point in the int8 domain)."""
+    if qw.dtype != jnp.int8:
+        # s4 runtime payload — widen in-graph, HBM read stays 4-bit (see
+        # quantnet/ops/linear.py::_int8_matmul)
+        qw = qw.astype(jnp.int8)
     qx = _pad_nhwc(qx, pads, pad_value)
     backend = cfg.resolve_conv_backend()
     if backend == "xla":

@@ -48,6 +48,11 @@ def _int8_matmul(qx: jax.Array, qw: jax.Array) -> jax.Array:
     negligible vs the quantization scale) — used on CPU where XLA's s8 GEMM is
     a scalar loop.
     """
+    if qw.dtype != jnp.int8:
+        # s4 runtime payload (quantize/common.py::s4_runtime_tree): the
+        # weight lives 4-bit in HBM; widen in-graph — XLA fuses the convert
+        # into the operand read, so HBM weight traffic stays halved.
+        qw = qw.astype(jnp.int8)
     backend = cfg.resolve_matmul_backend()
     if backend == "pallas":
         from quantnet.ops.pallas_matmul import int8_matmul_pallas
@@ -72,6 +77,8 @@ def _int8_matmul_batched(qx: jax.Array, qw: jax.Array) -> jax.Array:
     dot (the Pallas GEMM kernel is unbatched; G extra kernel launches would
     cost more than they save on these shapes).
     """
+    if qw.dtype != jnp.int8:
+        qw = qw.astype(jnp.int8)  # s4 runtime payload — see _int8_matmul
     dn = (((2,), (1,)), ((0,), (0,)))
     if cfg.resolve_matmul_backend() == "emulate":
         return jax.lax.dot_general(
