@@ -548,10 +548,26 @@ def cmd_serve(args):
     shape = (test_data.image_size, test_data.image_size, test_data.channels)
     buckets = tuple(int(b) for b in args.buckets.split(","))
     rng = np.random.default_rng(args.seed)
-    images = rng.normal(size=(args.requests, *shape)).astype(np.float32)
+    wire_kwargs = {}
+    if getattr(args, "wire", "f32") == "u8":
+        # uint8 wire: raw u8 payloads, normalize on device with the data
+        # pipeline's stats — 4x less transfer per request (the 224px
+        # deployment config; quantnet/serve/server.py).
+        mean = test_data.mean if test_data.mean is not None else np.zeros(
+            shape[-1], np.float32
+        )
+        std = test_data.std if test_data.std is not None else np.ones(
+            shape[-1], np.float32
+        )
+        wire_kwargs = {"wire_dtype": "uint8", "normalize": (mean, std)}
+        images = rng.integers(0, 256, size=(args.requests, *shape)).astype(
+            np.uint8
+        )
+    else:
+        images = rng.normal(size=(args.requests, *shape)).astype(np.float32)
     with InferenceEngine(
         apply_fn, params, state, image_shape=shape, buckets=buckets,
-        max_wait_ms=args.max_wait_ms, mesh=mesh,
+        max_wait_ms=args.max_wait_ms, mesh=mesh, **wire_kwargs,
     ) as eng:
         t0 = _time.perf_counter()
         futs = [eng.submit(img) for img in images]
@@ -824,6 +840,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-wait-ms", type=float, default=2.0)
     sp.add_argument("--data-parallel", type=int, default=1,
                     help="shard batches over this many devices (-1 = all)")
+    sp.add_argument("--wire", default="f32", choices=["f32", "u8"],
+                    help="request wire format: u8 = raw uint8 payloads "
+                         "normalized on device (4x less transfer/request — "
+                         "the 224px deployment config)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("experiment")
