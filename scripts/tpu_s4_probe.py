@@ -50,7 +50,25 @@ def time_fn(fn, *args, warmup=5, iters=50):
     return ts[len(ts) // 2] * 1e3  # p50 ms
 
 
-def micro():
+def s4_supported() -> bool:
+    """Can an int4 array be passed INTO a jitted program on this platform?
+
+    On the axon-tunnel jax stack (round 5), creating int4 arrays works but
+    using one as a jit argument raises RecursionError in the client and
+    host transfers are UNIMPLEMENTED — i.e. XLA declines s4 I/O here. The
+    probe records that verdict instead of crashing."""
+    try:
+        w8 = jnp.asarray(np.zeros((8, 8)), jnp.int8)
+        w4 = jax.jit(lambda a: a.astype(jnp.int4))(w8)
+        jax.block_until_ready(jax.jit(lambda w: w.astype(jnp.int8).sum())(w4))
+        return True
+    except Exception as e:  # noqa: BLE001 — any failure = unsupported
+        log(f"s4-as-program-input unsupported on this platform: "
+            f"{type(e).__name__}")
+        return False
+
+
+def micro(with_s4: bool):
     """Weight-read microbench: y = (x_s8 @ w) * scale at serving shapes."""
     shapes = [
         (1, 512, 1000),      # resnet fc @ bs1
@@ -63,7 +81,7 @@ def micro():
         x8 = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
         xf = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
         w8 = jnp.asarray(rng.integers(-7, 8, (k, n)), jnp.int8)
-        w4 = w8.astype(jnp.int4)
+        w4 = jax.jit(lambda a: a.astype(jnp.int4))(w8) if with_s4 else None
         wf = jnp.asarray(rng.normal(size=(k, n)), jnp.float32)
         wb = wf.astype(jnp.bfloat16)
         scale = jnp.float32(0.01)
@@ -94,15 +112,16 @@ def micro():
             "f32": time_fn(f32, xf, wf),
             "bf16": time_fn(bf16, xf, wb),
             "s8": time_fn(s8, x8, w8),
-            "s4": time_fn(s4, x8, w4),
         }
+        if with_s4:
+            rows["s4"] = time_fn(s4, x8, w4)
         log(
             f"micro ({m},{k})x({k},{n}): "
             + "  ".join(f"{k_}={v * 1e3:.1f}us" for k_, v in rows.items())
         )
 
 
-def model_rows(name, apply_fn, params, state, size, calib_x):
+def model_rows(name, apply_fn, params, state, size, calib_x, with_s4):
     from quantnet.bench.benchmark import InferenceBenchmark
     from quantnet.core.types import tree_nbytes
     from quantnet.quantize import static, weight_only
@@ -117,10 +136,11 @@ def model_rows(name, apply_fn, params, state, size, calib_x):
         weight_bits=4, weight_group_size=128,
     )
     variants["w4a8_s8wide"] = w4
-    variants["w4a8_s4"] = (s4_runtime_tree(w4[0]), w4[1])
     wo4 = weight_only.quantize(params, state, bits=4, group_size=128)
     variants["wo_int4_s8wide"] = wo4
-    variants["wo_int4_s4"] = (s4_runtime_tree(wo4[0]), wo4[1])
+    if with_s4:
+        variants["w4a8_s4"] = (s4_runtime_tree(w4[0]), w4[1])
+        variants["wo_int4_s4"] = (s4_runtime_tree(wo4[0]), wo4[1])
 
     for bs in (1, 128):
         bench = InferenceBenchmark(
@@ -140,17 +160,18 @@ def main():
     from quantnet.train import checkpoint as ckpt
 
     log(f"devices: {jax.devices()}")
-    micro()
+    with_s4 = s4_supported()
+    micro(with_s4)
 
     calib = np.load("runs/r224_cache_c10_n12800_xtr.npy", mmap_mode="r")
     calib_x = jnp.asarray(np.asarray(calib[:128], np.float32))
     tree, _ = ckpt.load_artifact("runs/r3_r18_224/saved/fp32")
     model_rows("r18_224", resnet.apply, tree["params"], tree["state"], 224,
-               calib_x)
+               calib_x, with_s4)
     if os.path.exists("runs/r5_r50_224/saved/fp32.json"):
         tree, _ = ckpt.load_artifact("runs/r5_r50_224/saved/fp32")
         model_rows("r50_224", resnet.apply, tree["params"], tree["state"],
-                   224, calib_x)
+                   224, calib_x, with_s4)
 
 
 if __name__ == "__main__":
