@@ -20,6 +20,7 @@ number).
 """
 from __future__ import annotations
 
+import os
 import threading
 import time
 
@@ -55,7 +56,12 @@ def main():
         from quantnet.train import checkpoint as ckpt
 
         apply_fn = resnet.apply
-        size, buckets = 224, (1, 8, 32, 64)
+        # Max bucket is a throughput lever on the tunnel: each dispatched
+        # batch pays a fixed ~300 ms round trip, so under saturating load
+        # req/s scales with rows/batch until HBM or compute binds. Override
+        # with SERVE_MAX_BUCKET (round-5 sweep below, docs/PERF.md).
+        max_bucket = int(os.environ.get("SERVE_MAX_BUCKET", "64"))
+        size, buckets = 224, (1, 8, 32, max_bucket)
         src = (
             "runs/r5_r50_224/saved/fp32"
             if model == "r50_224" else "runs/r3_r18_224/saved/fp32"
