@@ -327,6 +327,13 @@ def cmd_qat(args):
     )
     weight_bits = getattr(args, "weight_bits", 8)
     weight_only = getattr(args, "weight_only", False)
+    if weight_only and weight_bits == 8 and not getattr(args, "artifact_name", ""):
+        # A weight-only int8 QAT tree would silently take the 'qat' name and
+        # masquerade as the static-INT8 QAT row in evaluate/report.
+        raise SystemExit(
+            "--weight-only targets the sub-byte tier; pass --weight-bits 4 "
+            "(or an explicit --artifact-name for a weight-only int8 QAT)"
+        )
     group_size = (
         (getattr(args, "weight_group_size", 128) or None)
         if weight_bits == 4 else None
@@ -478,8 +485,17 @@ def cmd_bench(args):
         # True 4-bit HBM payloads for the sub-byte tiers' bench rows
         # (quantnet/quantize/common.py::s4_runtime_tree; numerics identical,
         # weight bytes halved — the bs=1 serving lever).
-        from quantnet.quantize.common import s4_runtime_tree
+        from quantnet.quantize.common import s4_io_supported, s4_runtime_tree
 
+        if not s4_io_supported():
+            # Measured platform verdict (docs/PERF.md round 5): some TPU
+            # stacks decline int4 program inputs with an opaque client
+            # RecursionError — surface the real reason instead.
+            raise SystemExit(
+                "--s4-runtime: this backend cannot pass int4 arrays into "
+                "jitted programs (s4 I/O unsupported; see docs/PERF.md "
+                "round 5) — benching the int8-wide payloads instead"
+            )
         models = {
             name: (fn, s4_runtime_tree(p), s)
             for name, (fn, p, s) in models.items()

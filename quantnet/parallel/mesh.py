@@ -140,6 +140,14 @@ def resident_split(mesh: Mesh, dataset):
     pc, pi = jax.process_count(), jax.process_index()
     idx = np.arange(total) % n
 
+    def host_block(arr, di):
+        """Device di's rows: a contiguous VIEW of the source (no host copy)
+        except the final wrap-padded block."""
+        lo = di * rows
+        if lo + rows <= n:
+            return arr[lo:lo + rows]
+        return arr[idx[lo:lo + rows]]
+
     def put(arr):
         global_shape = (total,) + tuple(arr.shape[1:])
         if pc > 1:
@@ -147,7 +155,20 @@ def resident_split(mesh: Mesh, dataset):
             return jax.make_array_from_process_local_data(
                 sharding, np.ascontiguousarray(arr[idx[lo:hi]]), global_shape
             )
-        return jax.device_put(arr[idx], sharding)
+        # Single-process: place per device block — no full-split host copy,
+        # and each transfer is one block, not one multi-GB device_put (the
+        # chunked-transfer discipline of datasets._chunked_device_put: a
+        # single huge put wedged the axon tunnel for 15+ min, its
+        # docstring). Blocks replicate across the model axis.
+        mesh_devs = mesh.devices.reshape(ndata, -1)
+        arrays = []
+        for di in range(ndata):
+            blk = host_block(arr, di)
+            for dev in mesh_devs[di]:
+                arrays.append(jax.device_put(blk, dev))
+        return jax.make_array_from_single_device_arrays(
+            global_shape, sharding, arrays
+        )
 
     dimages = put(store)
     dlabels = put(dataset.labels)

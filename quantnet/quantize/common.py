@@ -116,6 +116,30 @@ def s4_runtime_tree(params: dict) -> dict:
     return walk_layers(params, q)
 
 
+def s4_io_supported() -> bool:
+    """Can an int4 array be passed INTO a jitted program on this backend?
+
+    Measured round 5 (docs/PERF.md): on the axon-tunnel TPU stack int4
+    arrays can be created but using one as a jit argument raises
+    RecursionError in the client and host transfers are UNIMPLEMENTED.
+    Callers that would feed s4_runtime_tree output into jit (bench
+    --s4-runtime, serving) check this first and fail with a clear verdict
+    instead of the opaque platform error."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        w8 = jnp.asarray(np.zeros((8, 8)), jnp.int8)
+        w4 = jax.jit(lambda a: a.astype(jnp.int4))(w8)
+        jax.block_until_ready(
+            jax.jit(lambda w: w.astype(jnp.int8).sum())(w4)
+        )
+        return True
+    except Exception:  # noqa: BLE001 — any failure means unsupported
+        return False
+
+
 def last_layer_path(params: dict) -> Optional[str]:
     """Path of the final (classifier) layer — dict order is model order
     ('fc2' for SimpleConvNet, 'fc' for ResNet-50)."""

@@ -160,8 +160,8 @@ def int4_guard_sweep(
     """One sensitivity measurement, guard sets at several thresholds, plus
     the damage distribution stats that justify (or indict) the default: the
     evidence artifact for the guard's threshold choice (VERDICT round-4
-    weak #3). Returns {"damage", "median", "guards": {thr: [paths]},
-    "stable_25_100": bool}."""
+    weak #3). Returns {"damage", "median", "rel_damage",
+    "guards": {thr: [paths]}, "stable_over_range": bool}."""
     damage = measure_sensitivity(
         apply_fn, params, state, probe_batches,
         bits=4, group_size=group_size, act_quant=False,

@@ -40,7 +40,11 @@ def log(m):
 def time_fn(fn, *args, warmup=5, iters=50):
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    # chain-differenced batches of dispatches to amortize host overhead
+    # PER-CALL timing (dispatch + block each iteration): on a
+    # tunnel-attached chip this is round-trip-bound, so micro() rows are
+    # ADVISORY ONLY — the adjudication rests on model_rows(), which uses
+    # the chain-differenced InferenceBenchmark harness (docs/PERF.md
+    # methodology).
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -51,21 +55,16 @@ def time_fn(fn, *args, warmup=5, iters=50):
 
 
 def s4_supported() -> bool:
-    """Can an int4 array be passed INTO a jitted program on this platform?
+    """Platform check shared with the product CLI (bench --s4-runtime):
+    quantnet/quantize/common.py::s4_io_supported, with a log line for the
+    probe record."""
+    from quantnet.quantize.common import s4_io_supported
 
-    On the axon-tunnel jax stack (round 5), creating int4 arrays works but
-    using one as a jit argument raises RecursionError in the client and
-    host transfers are UNIMPLEMENTED — i.e. XLA declines s4 I/O here. The
-    probe records that verdict instead of crashing."""
-    try:
-        w8 = jnp.asarray(np.zeros((8, 8)), jnp.int8)
-        w4 = jax.jit(lambda a: a.astype(jnp.int4))(w8)
-        jax.block_until_ready(jax.jit(lambda w: w.astype(jnp.int8).sum())(w4))
-        return True
-    except Exception as e:  # noqa: BLE001 — any failure = unsupported
-        log(f"s4-as-program-input unsupported on this platform: "
-            f"{type(e).__name__}")
-        return False
+    ok = s4_io_supported()
+    if not ok:
+        log("s4-as-program-input unsupported on this platform "
+            "(int4 jit inputs rejected; see docs/PERF.md round 5)")
+    return ok
 
 
 def micro(with_s4: bool):
