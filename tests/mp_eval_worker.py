@@ -211,8 +211,42 @@ cs2 = jax.tree_util.tree_map(jnp.copy, state)
 assert np.isfinite(float(gloss))
 assert abs(float(gloss) - float(sloss2)) < 1e-4, (float(gloss), float(sloss2))
 
+# --- Sub-byte QAT across REAL processes (round 5) ---
+# prepare() calibrates with the cross-process observer merge, the fake-quant
+# finetune step runs sharded over the 2-process mesh, and the baked tree
+# evaluates through the same mesh. The baked-scale digest rides the MP_OK
+# line, so the parent asserts both processes trained/baked bit-identically.
+from quantnet.quantize import qat  # noqa: E402
+
+fq_p, fq_s = qat.prepare(
+    params, state, convnet.apply, local_calib[:1],
+    weight_bits=4, weight_group_size=128, skip_first_layer=True,
+)
+with mesh:
+    fq_ps = meshlib.shard_params(mesh, fq_p)
+    fq_ss = meshlib.shard_params(mesh, fq_s)
+    qstep = make_parallel_train_step(convnet.apply, tx, mesh, augment=False)
+    im, lb = meshlib.shard_batch(mesh, (local_images, local_labels))
+    (fq_p2, fq_s2, _), qat_loss, _ = qstep(
+        (fq_ps, fq_ss, tx.init(fq_ps)), jax.random.PRNGKey(11), im, lb
+    )
+    baked = qat.bake(fq_p2)
+    q1, _q5, qn = eval_step(baked, fq_s2, im, lb)
+assert np.isfinite(float(qat_loss)), float(qat_loss)
+assert int(qn) == GLOBAL_BS
+qat_digest = "%.6e" % float(
+    sum(
+        float(np.asarray(leaf.scale).sum())
+        for leaf in jax.tree_util.tree_leaves(
+            baked, is_leaf=lambda x: hasattr(x, "values") and hasattr(x, "scale")
+        )
+        if hasattr(leaf, "values")
+    )
+)
+
 print(
     f"MP_OK {top1} {n} calib={calib_digest} resident_top1={int(rtop1)} "
-    f"resident_loss={float(gloss):.6f}",
+    f"resident_loss={float(gloss):.6f} qat_loss={float(qat_loss):.6f} "
+    f"qat_scales={qat_digest} qat_top1={int(q1)}",
     flush=True,
 )
