@@ -279,6 +279,15 @@ def cmd_quantize(args):
         args.model, train_data.num_classes, conv1_scale=args.conv1_scale,
         torch_pad=_torch_pad(meta),
     )
+    if getattr(args, "equalize", False):
+        # Data-free cross-layer range equalization before every scheme
+        # (quantnet/quantize/equalize.py) — the per-tensor deployment
+        # configs' accuracy repair; function-preserving, so per-channel
+        # schemes are unaffected in exact arithmetic.
+        from quantnet.quantize.equalize import cross_layer_equalize
+
+        params, state = cross_layer_equalize(params, state)
+        print("applied cross-layer equalization")
     schemes = _quantize_all(apply_fn, params, state, train_data, args)
     policy = schemes.pop("_policy", None)
     for name, (qp, qs) in schemes.items():
@@ -762,6 +771,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="static scheme: quantize residual operands before "
                          "the add in downsample blocks (reference residual "
                          "semantics; bandwidth win on TPU)")
+    sp.add_argument("--equalize", action="store_true",
+                    help="cross-layer equalization before quantizing "
+                         "(data-free range rebalancing, Nagel et al. 2019) "
+                         "— repairs per-tensor configs on checkpoints with "
+                         "pathological per-channel spread")
     sp.set_defaults(fn=cmd_quantize)
 
     sp = sub.add_parser("qat")

@@ -240,3 +240,26 @@ def test_int4_guard_threshold_is_evidence(track):
         # empty set must also be comfortably empty: even halving the
         # threshold to 25x median guards nothing
         assert max(rel.values(), default=0.0) <= 25, rel
+
+
+def test_cle_repairs_collapse_on_chip():
+    """Cross-layer equalization (quantnet/quantize/equalize.py) measured on
+    the real chip against the SAME committed collapse case the QAT demo
+    uses: the constructed per-channel rescale is pure range pathology, so
+    CLE must repair it analytically — zero data, zero training
+    (scripts/tpu_cle_probe.py, qat_recovery/cle.json)."""
+    path = os.path.join(
+        DOCS, "results_tpu_v5e_resnet50", "qat_recovery", "cle.json"
+    )
+    if not os.path.exists(path):
+        pytest.fail("declared CLE probe artifacts missing: " + path)
+    with open(path) as f:
+        d = json.load(f)
+    fp32 = d["fp32"]["top1"]
+    collapsed = d["static_collapsed"]["top1"]
+    cle = d["static_after_cle"]["top1"]
+    assert (fp32 - collapsed) * 100 > 1.0, "case no longer collapses"
+    # CLE itself is function-preserving on the fp32 graph
+    assert abs(d["fp32_after_cle"]["top1"] - fp32) < 0.01
+    # and repairs >=90% of the collapse with no training
+    assert (cle - collapsed) >= 0.9 * (fp32 - collapsed), (cle, collapsed, fp32)
