@@ -203,6 +203,20 @@ def _quantize_all(apply_fn, params, state, train_data, args) -> Dict[str, Tuple[
             out[tier] = adaround.refine(
                 *out[tier], params, state, apply_fn, calib, steps=ar_steps,
             )
+    # Empirical bias correction on the sub-byte tiers (Nagel et al. 2019
+    # §4.2, quantnet/quantize/bias_correct.py): remove the measured
+    # per-channel expected error of weight quantization. Opt-in; composes
+    # with (runs after) AdaRound.
+    if getattr(args, "bias_correct", False):
+        from quantnet.quantize.bias_correct import bias_correct
+
+        requested = getattr(args, "scheme", "all")
+        for tier in ("weight_only_int4", "w4a8"):
+            if requested not in ("all", tier):
+                continue
+            out[tier] = bias_correct(
+                *out[tier], params, state, apply_fn, calib
+            )
     # Measured sensitivity is one compiled program regardless of depth
     # (ProbeGate sweep, quantnet/quantize/policy.py), so it is the default
     # for every model — ResNet-50 included.
@@ -776,6 +790,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "(data-free range rebalancing, Nagel et al. 2019) "
                          "— repairs per-tensor configs on checkpoints with "
                          "pathological per-channel spread")
+    sp.add_argument("--bias-correct", action="store_true",
+                    help="empirical bias correction on the sub-byte tiers: "
+                         "subtract the measured per-channel expected "
+                         "weight-quantization error from layer biases "
+                         "(runs after AdaRound when both are enabled)")
     sp.set_defaults(fn=cmd_quantize)
 
     sp = sub.add_parser("qat")
