@@ -140,15 +140,47 @@ def s4_io_supported() -> bool:
         return False
 
 
+# Model-order anchors for this framework's own naming conventions
+# (quantnet/models/*): stems sort first, classifier heads last, body
+# stages in between by natural-numeric order (block2 < block10). Dict
+# iteration order is NOT usable here: jit canonicalizes dict pytrees into
+# sorted-key order, so any tree that round-tripped through a jitted
+# transform (fold_model_jit output included) has lost model order — which
+# once made skip_last_layer on a post-jit ResNet tree skip
+# 'layer4/1/conv2' instead of 'fc' (regression-tested in tests/test_ops.py).
+_ORDER_GROUPS = {"conv_stem": 0, "conv_head": 3}
+
+
+def _model_order_key(path: str):
+    import re
+
+    parts = path.split("/")
+    top = parts[0]
+    if top in _ORDER_GROUPS:
+        group = _ORDER_GROUPS[top]
+    elif top.startswith("fc"):
+        group = 4
+    elif top.startswith("conv"):
+        group = 1  # top-level conv1..convN chains (convnet, resnet stem)
+    else:
+        group = 2  # layerN / blockN stages
+    nat = tuple(
+        tuple(int(t) if t.isdigit() else t for t in re.split(r"(\d+)", p))
+        for p in parts
+    )
+    return (group,) + nat
+
+
 def last_layer_path(params: dict) -> Optional[str]:
-    """Path of the final (classifier) layer — dict order is model order
-    ('fc2' for SimpleConvNet, 'fc' for ResNet-50)."""
+    """Path of the final (classifier) layer ('fc2' for SimpleConvNet, 'fc'
+    for ResNet/MobileNet), robust to dict-order canonicalization."""
     paths = layer_paths(params)
-    return paths[-1] if paths else None
+    return max(paths, key=_model_order_key) if paths else None
 
 
 def first_layer_path(params: dict) -> Optional[str]:
-    """Path of the first (stem) layer — dict order is model order ('conv1').
+    """Path of the first (stem) layer ('conv1' / 'conv_stem'), robust to
+    dict-order canonicalization (see _model_order_key).
 
     Keeping the stem in fp32 is the standard static-PTQ deployment policy for
     tiny input channel counts (C=3 images): the s8 conv at C=3 runs far below
@@ -156,7 +188,7 @@ def first_layer_path(params: dict) -> Optional[str]:
     f32 conv costs less than the quantize+pad passes it replaces, and skipping
     the input quantization strictly improves accuracy."""
     paths = layer_paths(params)
-    return paths[0] if paths else None
+    return min(paths, key=_model_order_key) if paths else None
 
 
 def resolve_policy(

@@ -174,3 +174,54 @@ class TestMSEObserver:
         ref, _ = convnet.apply(params, state, x, train=False)
         err = float(jnp.sqrt(jnp.mean((got - ref) ** 2)))
         assert err < 0.5
+
+
+class TestModelOrderPaths:
+    """first/last_layer_path must be robust to dict-order canonicalization:
+    jit sorts dict pytree keys, so any tree that round-tripped through a
+    jitted transform (fold_model_jit output included) iterates
+    alphabetically — which once made skip_last_layer on a ResNet tree skip
+    'layer4/1/conv2' instead of 'fc' (the sorted-order last path)."""
+
+    def test_resnet_sorted_tree_first_last(self):
+        import jax
+
+        from quantnet.models import resnet
+        from quantnet.quantize.common import first_layer_path, last_layer_path
+
+        params, _ = resnet.init(jax.random.PRNGKey(0), num_classes=10, depth=18)
+        sorted_tree = {k: params[k] for k in sorted(params)}
+        assert first_layer_path(sorted_tree) == "conv1"
+        assert last_layer_path(sorted_tree) == "fc"
+
+    def test_skip_last_layer_inside_jit_skips_fc(self):
+        """The live bug: weight_only's jitted transform saw the sorted tree."""
+        import jax
+
+        from quantnet.core.types import QTensor
+        from quantnet.models import resnet
+        from quantnet.quantize import weight_only
+
+        params, state = resnet.init(jax.random.PRNGKey(0), num_classes=10, depth=18)
+        qp, _ = weight_only.quantize(params, state, skip_last_layer=True)
+        assert not isinstance(qp["fc"]["w"], QTensor)
+        assert isinstance(qp["layer4"]["1"]["conv2"]["w"], QTensor)
+
+    def test_mobilenet_first_is_stem_not_block0(self):
+        import jax
+
+        from quantnet.models import mobilenet
+        from quantnet.quantize.common import first_layer_path, last_layer_path
+
+        params, _ = mobilenet.init(jax.random.PRNGKey(0), num_classes=10)
+        sorted_tree = {k: params[k] for k in sorted(params)}
+        assert first_layer_path(sorted_tree) == "conv_stem"
+        assert last_layer_path(sorted_tree) == "fc"
+
+    def test_natural_numeric_order(self):
+        from quantnet.quantize.common import _model_order_key
+
+        assert _model_order_key("block2/dw") < _model_order_key("block10/dw")
+        assert _model_order_key("conv_stem") < _model_order_key("conv1")
+        assert _model_order_key("layer4/2/conv3") < _model_order_key("fc")
+        assert _model_order_key("conv_head") < _model_order_key("fc")
