@@ -71,6 +71,20 @@ def _build_model(
         if torch_pad:
             kw["torch_pad"] = True
         apply_fn = functools.partial(mod.apply, **kw) if kw else mod.apply
+    elif name.startswith("mobilenetv2"):
+        import functools
+
+        from quantnet.models import mobilenet as mod
+
+        # optional width suffix: mobilenetv2_0.5 etc.
+        if "_" in name:
+            try:
+                init_kwargs["width_mult"] = float(name.split("_", 1)[1])
+            except ValueError:
+                raise SystemExit(f"unknown model {name!r}")
+        apply_fn = (
+            functools.partial(mod.apply, torch_pad=True) if torch_pad else mod.apply
+        )
     else:
         raise SystemExit(f"unknown model {name!r}")
     params, state = mod.init(
@@ -556,9 +570,9 @@ def cmd_import_torch(args):
         {"params": params, "state": state},
         {"model": args.model, "best_accuracy": best, "imported_from": args.ckpt,
          # imported torch weights need symmetric stride-2 conv padding
-         # (quantnet/models/resnet.py::apply torch_pad); convnet forwards
-         # are padding-identical either way, the flag is harmless there.
-         "torch_pad": args.model.startswith("resnet")},
+         # (quantnet/models/resnet.py::apply torch_pad, mobilenet.py ditto);
+         # convnet forwards are padding-identical either way.
+         "torch_pad": args.model.startswith(("resnet", "mobilenetv2"))},
     )
     msg = f"imported {args.ckpt} -> {args.save_dir}/fp32"
     if best is not None:

@@ -36,16 +36,21 @@ def _apply_act(y, activation: Optional[str]):
         return y
     if activation == "relu":
         return jax.nn.relu(y)
+    if activation == "relu6":
+        # MobileNet-family clipped ReLU. Monotone, so the int8 tensor-handoff
+        # argument (out_quant commutes with monotone ops) holds unchanged.
+        return jnp.clip(y, 0.0, 6.0)
     raise ValueError(f"unknown activation {activation!r}")
 
 
-def _conv(x, w, stride, padding, out_dtype, precision=None):
+def _conv(x, w, stride, padding, out_dtype, precision=None, groups=1):
     return jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=DIMNUMS,
+        feature_group_count=groups,
         preferred_element_type=out_dtype,
         precision=precision,
     )
@@ -98,7 +103,7 @@ def _im2col(x: jax.Array, kh: int, kw: int, stride: int) -> jax.Array:
     return jnp.concatenate(cols, axis=-1)
 
 
-def _int8_conv(qx, qw, stride, pads, pad_value) -> jax.Array:
+def _int8_conv(qx, qw, stride, pads, pad_value, groups=1) -> jax.Array:
     """int8 NHWC conv -> accumulator (int32, or f32 when emulated), with
     explicit padding by `pad_value` (the zero point in the int8 domain)."""
     if qw.dtype != jnp.int8:
@@ -107,16 +112,20 @@ def _int8_conv(qx, qw, stride, pads, pad_value) -> jax.Array:
         qw = qw.astype(jnp.int8)
     qx = _pad_nhwc(qx, pads, pad_value)
     backend = cfg.resolve_conv_backend()
-    if backend == "xla":
-        return _conv(qx, qw, stride, "VALID", jnp.int32)
     if backend == "emulate":
         # Integer-valued f32 conv: exact while accumulators stay < 2^24,
         # negligible rounding vs the quant scale beyond that; ~100x faster
         # than s8 conv on XLA:CPU.
         return _conv(
             qx.astype(jnp.float32), qw.astype(jnp.float32), stride, "VALID",
-            jnp.float32,
+            jnp.float32, groups=groups,
         )
+    if backend == "xla" or groups > 1:
+        # Grouped/depthwise convs always take XLA's native path: im2col
+        # would need a block-diagonal GEMM (G separate matmuls) — pure
+        # data-movement overhead with zero MXU benefit for a conv whose
+        # reduction is kh*kw per group.
+        return _conv(qx, qw, stride, "VALID", jnp.int32, groups=groups)
     # im2col: lower to the selected int8 matmul backend (incl. Pallas).
     kh, kw, ci, co = qw.shape
     patches = _im2col(qx, kh, kw, stride)
@@ -135,11 +144,17 @@ def conv2d(
     padding: str = "SAME",
     activation: Optional[str] = None,
     out_quant: Optional[ActQuant] = None,
+    groups: int = 1,
 ) -> jax.Array:
     """Apply a conv layer given its param dict {'w', optional 'b', 'aq', 'wsum'}.
 
     w layout HWIO; per-channel quantization axis is 3 (output channels), scale
-    broadcast shape (1, 1, 1, O).
+    broadcast shape (1, 1, 1, O). `groups` is lax feature_group_count
+    (depthwise = groups == input channels, HWIO kernel (kh, kw, 1, C)); it is
+    static call-site metadata passed by the model's apply(), never stored in
+    the params tree (an int leaf would become a traced array under jit). All
+    quantization math is group-agnostic: weight scales/wsum are per OUTPUT
+    channel, and each output channel's reduction stays inside its own group.
 
     INT8 tensor handoff (static path): with `out_quant` (the *consumer's*
     frozen ActQuant), the epilogue requantizes the activated output and
@@ -169,7 +184,9 @@ def conv2d(
         )
         if probe.act_quant:
             qlayer["aq"] = DynamicActQuant()
-        kwargs = dict(stride=stride, padding=padding, activation=activation)
+        kwargs = dict(
+            stride=stride, padding=padding, activation=activation, groups=groups
+        )
         y_fp = conv2d(base, x, **kwargs)
         y_q = conv2d(qlayer, x, **kwargs)
         return maybe_requantize(
@@ -202,7 +219,7 @@ def conv2d(
         # identical finetune converges on CPU f32 and collapsed on-chip
         # (docs/PERF.md round 3, QAT stabilization).
         y = _conv(xq, wq, stride, padding, out_dtype,
-                  precision=jax.lax.Precision.HIGHEST)
+                  precision=jax.lax.Precision.HIGHEST, groups=groups)
         if b is not None:
             y = y + b
         return maybe_requantize(_apply_act(y, activation), out_quant)
@@ -214,7 +231,10 @@ def conv2d(
         # into consumers with a frozen ActQuant, which always have QTensor
         # weights.)
         cdtype = w.dtype if w.dtype == jnp.bfloat16 else x.dtype
-        y = _conv(x.astype(cdtype), w.astype(cdtype), stride, padding, out_dtype)
+        y = _conv(
+            x.astype(cdtype), w.astype(cdtype), stride, padding, out_dtype,
+            groups=groups,
+        )
         if b is not None:
             y = y + b
         return maybe_requantize(_apply_act(y, activation), out_quant)
@@ -248,6 +268,7 @@ def conv2d(
             stride,
             "VALID",
             out_dtype,
+            groups=groups,
         ) * w_scale
         if b is not None:
             y = y + b
@@ -256,7 +277,7 @@ def conv2d(
     if isinstance(aq, DynamicActQuant):
         # Symmetric per-batch quant -> fp32 zero == int8 zero, pad with 0.
         qx, x_scale = dynamic_quantize(x, axis=None)
-        acc = _int8_conv(qx, w.values, stride, pads, jnp.int8(0))
+        acc = _int8_conv(qx, w.values, stride, pads, jnp.int8(0), groups=groups)
         y = acc.astype(out_dtype) * (x_scale * w_scale)
         if b is not None:
             y = y + b
@@ -272,7 +293,7 @@ def conv2d(
         # int8 input = already in this layer's aq domain (producer chained)
         qx = x if x.dtype == jnp.int8 else quantize_affine(x, aq.scale, aq.zero_point)
         pad_value = aq.zero_point.astype(jnp.int8)
-        acc = _int8_conv(qx, w.values, stride, pads, pad_value)
+        acc = _int8_conv(qx, w.values, stride, pads, pad_value, groups=groups)
         wsum = layer["wsum"]  # int32[O] = sum_{kh,kw,ci} qw
         acc = acc - aq.zero_point * wsum
         y = acc.astype(out_dtype) * (aq.scale * w_scale)

@@ -125,6 +125,12 @@ def _apply_spec(spec, layer: dict, x: jax.Array) -> jax.Array:
         return conv2d(
             layer, x, stride=stride, padding=padding, activation=activation
         )
+    if kind == "dwconv":
+        # Depthwise (quantnet/models/mobilenet.py): groups == input channels.
+        return conv2d(
+            layer, x, stride=stride, padding=padding, activation=activation,
+            groups=x.shape[-1],
+        )
     return linear(layer, x, activation=activation)
 
 

@@ -39,6 +39,11 @@ def _apply_linear_part(spec, layer: dict, x: jax.Array) -> jax.Array:
     kind, stride, padding, _activation = spec
     if kind == "conv":
         return conv2d(layer, x, stride=stride, padding=padding)
+    if kind == "dwconv":
+        # Depthwise (quantnet/models/mobilenet.py): groups == input channels.
+        return conv2d(
+            layer, x, stride=stride, padding=padding, groups=x.shape[-1]
+        )
     return linear(layer, x)
 
 

@@ -26,11 +26,19 @@ per-channel positive scaling, so the convnet chain equalizes end to end,
 including conv6 -> fc1 across the flatten (the fc weight is viewed as
 (H·W, C, out) and scaled on its channel axis).
 
-Not implemented (documented scope): the paper's bias-absorption and
-empirical bias-correction follow-ups; per-channel weight quantization
-(this framework's default) does not need CLE — it exists for the
-per-tensor deployment configs (`--per-tensor`) and imported checkpoints
-with pathological per-channel spread.
+Not implemented (documented scope): the paper's bias-absorption follow-up;
+per-channel weight quantization (this framework's default) does not need
+CLE — it exists for the per-tensor deployment configs (`--per-tensor`) and
+imported checkpoints with pathological per-channel spread. (The paper's
+OTHER follow-up, empirical bias correction, lives in
+quantnet/quantize/bias_correct.py.)
+
+ReLU6 (MobileNet pairs): the clip is positively homogeneous only on its
+linear segment, so CLE across ReLU6 is exact iff no pre-activation crosses
+6 in either the original or rescaled net — the same regime restriction the
+paper/AIMET handle by swapping ReLU6 for ReLU on trained MobileNets.
+Sub-clip exactness is pinned in tests/test_mobilenet.py; clip-active drift
+is a measured, model-specific quantity (scripts/tpu_mobilenet_bench.py).
 """
 from __future__ import annotations
 
@@ -64,9 +72,29 @@ def detect_pairs(params: dict) -> Tuple[PairSpec, ...]:
     ReLU/max-pool/dropout/flatten sit between every pair and commute with
     the rescale. ResNet (layer1..4 of blocks): intra-block pairs only
     (conv1->conv2 [, conv2->conv3]); the residual add joins two paths, so
-    block outputs and downsample convs are never rescaled.
+    block outputs and downsample convs are never rescaled. MobileNetV2
+    (conv_stem + blockN of expand/dw/project): the paper's own target —
+    intra-block expand->dw (the depthwise consumes channel c ONLY into
+    output channel c, kind "dw_in") and dw->project, plus stem->block0/dw
+    (block0 is never residual). ReLU6 caveat: clipping breaks positive
+    homogeneity at the 6-boundary, so CLE across ReLU6 is exact only where
+    pre-activations stay under the clip — the same approximation Nagel et
+    al. accept for MobileNet (their §4 experiments); residual joins are
+    never crossed, as everywhere else.
     """
     pairs: List[PairSpec] = []
+    if "conv_stem" in params:
+        names = sorted(
+            (k for k in params if k.startswith("block")), key=lambda k: int(k[5:])
+        )
+        if names:
+            pairs.append(("conv_stem", f"{names[0]}/dw", "dw_in"))
+        for name in names:
+            block = params[name]
+            if "expand" in block:
+                pairs.append((f"{name}/expand", f"{name}/dw", "dw_in"))
+            pairs.append((f"{name}/dw", f"{name}/project", "conv"))
+        return tuple(pairs)
     if "conv1" in params and "fc1" in params and "layer1" not in params:
         convs = []
         i = 1
@@ -102,6 +130,9 @@ def _ranges(w1: jax.Array, w2: jax.Array, kind: str):
     if kind == "conv":  # (kh, kw, C, out)
         r2 = jnp.max(jnp.abs(w2), axis=(0, 1, 3))
         shape2 = (1, 1, c, 1)
+    elif kind == "dw_in":  # depthwise (kh, kw, 1, C): channel c -> channel c
+        r2 = jnp.max(jnp.abs(w2), axis=(0, 1, 2))
+        shape2 = (1, 1, 1, c)
     elif kind == "fc":  # (C, out)
         r2 = jnp.max(jnp.abs(w2), axis=1)
         shape2 = (c, 1)

@@ -286,3 +286,109 @@ class TestInt8Handoff:
         got, _ = convnet.apply(qp, qs, x, train=False)
         err = float(jnp.sqrt(jnp.mean((got - ref) ** 2)))
         assert err < 0.5, err
+
+
+class TestGroupedConv:
+    """Grouped/depthwise convs (feature_group_count — quantnet/models/
+    mobilenet.py): every quant path against the fp32/fake-quant oracle."""
+
+    def _mk_dw(self, rng, c=16, bias=True):
+        k1, k2 = jax.random.split(rng)
+        layer = {"w": jax.random.normal(k1, (3, 3, 1, c)) * 0.2}
+        if bias:
+            layer["b"] = jax.random.normal(k2, (c,))
+        return layer
+
+    def _oracle(self, x, w, b, stride=1, groups=1):
+        y = jax.lax.conv_general_dilated(
+            x, w, (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+        return y + b if b is not None else y
+
+    def test_fp32_depthwise(self, rng):
+        layer = self._mk_dw(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
+        y = conv2d(layer, x, groups=16)
+        ref = self._oracle(x, layer["w"], layer["b"], groups=16)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def test_relu6(self, rng):
+        layer = self._mk_dw(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16)) * 20
+        y = conv2d(layer, x, groups=16, activation="relu6")
+        ref = jnp.clip(self._oracle(x, layer["w"], layer["b"], groups=16), 0.0, 6.0)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-5)
+        assert float(jnp.max(y)) <= 6.0 and float(jnp.min(y)) >= 0.0
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_static_depthwise_oracle(self, rng, stride):
+        """Asymmetric input quant + SAME zero-point padding + wsum correction
+        on a grouped conv — each output channel's correction term spans only
+        its own group's reduction."""
+        layer = self._mk_dw(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16)) + 1.0
+        scale, zp = affine_qparams(jnp.min(x), jnp.max(x))
+        qw = quantize_symmetric(layer["w"], axis=3)
+        qlayer = dict(
+            layer, w=qw, aq=ActQuant(scale=scale, zero_point=zp),
+            wsum=weight_colsum(qw),
+        )
+        y = conv2d(qlayer, x, stride=stride, groups=16)
+        fx = fake_quantize_affine(x, scale, zp)
+        fw = fake_quantize_symmetric(layer["w"], axis=3)
+        ref = self._oracle(fx, fw, layer["b"], stride=stride, groups=16)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+    def test_dynamic_depthwise_oracle(self, rng):
+        layer = self._mk_dw(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
+        qlayer = dict(
+            layer, w=quantize_symmetric(layer["w"], axis=3), aq=DynamicActQuant()
+        )
+        y = conv2d(qlayer, x, groups=16)
+        fx = fake_quantize_symmetric(x, axis=None)
+        fw = fake_quantize_symmetric(layer["w"], axis=3)
+        ref = self._oracle(fx, fw, layer["b"], groups=16)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+    def test_grouped_nondepthwise(self, rng):
+        """groups strictly between 1 and C (grouped, not depthwise)."""
+        k1, k2 = jax.random.split(rng)
+        layer = {
+            "w": jax.random.normal(k1, (3, 3, 4, 16)) * 0.2,
+            "b": jax.random.normal(k2, (16,)),
+        }
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
+        y = conv2d(layer, x, groups=4)
+        ref = self._oracle(x, layer["w"], layer["b"], groups=4)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def test_grouped_backends_agree(self, rng):
+        """Grouped convs force XLA's native path even when im2col/pallas is
+        selected (block-diagonal GEMM would be pure overhead); xla and
+        emulate must agree."""
+        from quantnet.core import config as cfg
+
+        layer = self._mk_dw(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
+        qlayer = dict(
+            layer, w=quantize_symmetric(layer["w"], axis=3), aq=DynamicActQuant()
+        )
+        old = cfg.flags.int8_conv_backend
+        results = {}
+        try:
+            for backend in ("xla", "im2col", "emulate"):
+                cfg.flags.int8_conv_backend = backend
+                results[backend] = conv2d(qlayer, x, groups=16)
+        finally:
+            cfg.flags.int8_conv_backend = old
+        np.testing.assert_allclose(
+            np.asarray(results["xla"]), np.asarray(results["im2col"]),
+            rtol=1e-6, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(results["xla"]), np.asarray(results["emulate"]),
+            rtol=1e-4, atol=1e-4,
+        )

@@ -280,3 +280,109 @@ def test_cli_import_torch_then_quantize(torch_convnet, tmp_path, capsys):
     import os
 
     assert os.path.exists(os.path.join(save, "static.npz"))
+
+
+class _TorchMobileNetV2(nn.Module):
+    """Exact torchvision mobilenet_v2 topology + state_dict key names, in
+    plain torch (torchvision is not in this image). Nested Sequentials
+    reproduce the key scheme: features.0.{0,1} stem; features.N.conv with
+    [0.0/0.1 expand, 1.0/1.1 dw, 2/3 project] (t=1 block: [0.0/0.1 dw,
+    1/2 project]); features.18.{0,1} head; classifier.1 fc."""
+
+    def __init__(self):
+        super().__init__()
+        from quantnet.models.mobilenet import block_widths
+
+        stem, head, blocks = block_widths()
+        feats = [
+            nn.Sequential(
+                nn.Conv2d(3, stem, 3, stride=2, padding=1, bias=False),
+                nn.BatchNorm2d(stem),
+                nn.ReLU6(inplace=True),
+            )
+        ]
+        self._residual = []
+        cin = stem
+        for t, hidden, cout, s in blocks:
+            layers = []
+            if t != 1:
+                layers.append(
+                    nn.Sequential(
+                        nn.Conv2d(cin, hidden, 1, bias=False),
+                        nn.BatchNorm2d(hidden),
+                        nn.ReLU6(inplace=True),
+                    )
+                )
+            layers.append(
+                nn.Sequential(
+                    nn.Conv2d(hidden, hidden, 3, stride=s, padding=1,
+                              groups=hidden, bias=False),
+                    nn.BatchNorm2d(hidden),
+                    nn.ReLU6(inplace=True),
+                )
+            )
+            layers.append(nn.Conv2d(hidden, cout, 1, bias=False))
+            layers.append(nn.BatchNorm2d(cout))
+            block = nn.Module()
+            block.conv = nn.Sequential(*layers)
+            feats.append(block)
+            self._residual.append(s == 1 and cin == cout)
+            cin = cout
+        feats.append(
+            nn.Sequential(
+                nn.Conv2d(cin, head, 1, bias=False),
+                nn.BatchNorm2d(head),
+                nn.ReLU6(inplace=True),
+            )
+        )
+        self.features = nn.Sequential(*feats)
+        self.classifier = nn.Sequential(nn.Dropout(0.2), nn.Linear(head, 1000))
+
+    def forward(self, x):
+        x = self.features[0](x)
+        for i, block in enumerate(self.features[1:-1]):
+            out = block.conv(x)
+            x = x + out if self._residual[i] else out
+        x = self.features[-1](x)
+        x = x.mean(dim=(2, 3))
+        return self.classifier(x)
+
+
+def test_mobilenetv2_forward_parity():
+    from quantnet.models import mobilenet
+    from quantnet.models.torch_import import mobilenet_from_torch
+
+    torch.manual_seed(3)
+    m = _TorchMobileNetV2().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(m, seed=3)
+    x = np.random.default_rng(3).normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x)).numpy()
+    params, state = mobilenet_from_torch(m.state_dict())
+    got, _ = mobilenet.apply(
+        params, state, jnp.asarray(x.transpose(0, 2, 3, 1)), torch_pad=True
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_mobilenetv2_imported_tree_quantizes():
+    from quantnet.models import mobilenet
+    from quantnet.quantize import static
+
+    torch.manual_seed(4)
+    m = _TorchMobileNetV2().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(m, seed=4)
+    from quantnet.models.torch_import import mobilenet_from_torch
+
+    params, state = mobilenet_from_torch(m.state_dict())
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    import functools
+
+    apply_pad = functools.partial(mobilenet.apply, torch_pad=True)
+    qp, qs = static.quantize(params, state, apply_pad, [(x, None)])
+    logits, _ = apply_pad(qp, qs, x)
+    assert np.isfinite(np.asarray(logits)).all()
