@@ -262,9 +262,19 @@ def conv2d(
 
     if aq is None:
         # Weight-only: conv in activation dtype, per-channel scale in epilogue.
+        wf = w.values.astype(x.dtype)
+        if groups > 1:
+            # Measured miscompile (2026-08-21, v5e/axon stack): a GROUPED conv
+            # whose weight operand is an in-graph s8->f32 convert of a program
+            # input compiles to NaN output under jit (eager per-op is fine;
+            # dense convs are fine; constant-folded weights are fine). The
+            # barrier materializes the converted weights so the convert cannot
+            # fuse into the conv's operand — bit-exact vs the eager result,
+            # O(weight bytes) cost. Repro + adjudication: docs/PERF.md round 5.
+            wf = jax.lax.optimization_barrier(wf)
         y = _conv(
             _pad_nhwc(x, pads, 0.0),
-            w.values.astype(x.dtype),
+            wf,
             stride,
             "VALID",
             out_dtype,

@@ -392,3 +392,22 @@ class TestGroupedConv:
             np.asarray(results["xla"]), np.asarray(results["emulate"]),
             rtol=1e-4, atol=1e-4,
         )
+
+    def test_weight_only_grouped_jit_matches_eager(self, rng):
+        """Regression: on the v5e/axon stack a grouped conv whose weight
+        operand was an in-graph s8->f32 convert of a program input compiled
+        to NaN under jit (eager fine, dense fine) — quantnet/ops/conv.py
+        barriers the converted weights for groups > 1. CPU pins jit/eager
+        parity through the barriered path; the on-chip pin is the
+        weight_only row of docs/results_tpu_v5e_mobilenet_224."""
+        layer = self._mk_dw(rng)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
+        qlayer = dict(layer, w=quantize_symmetric(layer["w"], axis=3))
+        eager = conv2d(qlayer, x, groups=16, activation="relu6")
+        jitted = jax.jit(
+            lambda l, x: conv2d(l, x, groups=16, activation="relu6")
+        )(qlayer, x)
+        assert np.isfinite(np.asarray(jitted)).all()
+        np.testing.assert_allclose(
+            np.asarray(jitted), np.asarray(eager), rtol=1e-5, atol=1e-5
+        )
